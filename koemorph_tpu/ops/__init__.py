@@ -1,0 +1,39 @@
+"""On-device DSP ops: STFT/mel frontends, F0, eGeMAPS, prosody, resampling.
+
+Everything here is pure-functional jax.numpy (with optional Pallas kernels in
+``koemorph_tpu.ops.pallas``) and static-shape, so it composes under ``jit``,
+``vmap``, ``scan`` and ``shard_map``. These ops replace the reference's
+host-side librosa / torchaudio / OpenSMILE dependency surface
+(reference: SURVEY.md section 2.4).
+"""
+
+from koemorph_tpu.ops.window import frame_signal, hann_window, num_frames
+from koemorph_tpu.ops.stft import stft_power, dft_matrices
+from koemorph_tpu.ops.mel import (
+    hz_to_mel,
+    mel_to_hz,
+    mel_filterbank,
+    power_to_db,
+    normalize_log_mel,
+)
+from koemorph_tpu.ops.frontend import (
+    LogMelFrontend,
+    log_mel_spectrogram,
+    mel_with_temporal_detail,
+)
+
+__all__ = [
+    "frame_signal",
+    "hann_window",
+    "num_frames",
+    "stft_power",
+    "dft_matrices",
+    "hz_to_mel",
+    "mel_to_hz",
+    "mel_filterbank",
+    "power_to_db",
+    "normalize_log_mel",
+    "LogMelFrontend",
+    "log_mel_spectrogram",
+    "mel_with_temporal_detail",
+]

@@ -1,0 +1,104 @@
+"""STFT power spectrogram, MXU-first.
+
+On TPU the FLOPs live in matmuls, so the real-valued DFT is expressed as two
+frame-by-matrix products against precomputed cos/sin matrices instead of an
+FFT: ``re = F @ C``, ``im = F @ S``, ``power = re^2 + im^2``. For KoeMorph's
+sizes (n_fft=1024, <=513 bins, <=257 frames) this is a tiny batched GEMM that
+XLA tiles straight onto the 128x128 systolic array and fuses with the
+windowing multiply and the downstream mel-filterbank matmul. An ``rfft`` path
+is kept for parity checks and CPU tests.
+
+Replaces: librosa.stft (reference src/model/simplified_dual_stream_model.py
+:188-199), torchaudio.transforms.Spectrogram (reference src/features/stft.py
+:84-96).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from koemorph_tpu.ops.window import frame_signal, hann_window
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices_np(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def dft_matrices(n_fft: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Real-DFT basis matrices ``(cos, -sin)`` of shape ``(n_fft, n_fft//2+1)``.
+
+    ``frames @ cos + 1j * frames @ (-sin)`` equals ``rfft(frames)``.
+    """
+    c, s = _dft_matrices_np(n_fft)
+    return jnp.asarray(c, dtype=dtype), jnp.asarray(s, dtype=dtype)
+
+
+def stft_power(
+    x: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    win_length: int | None = None,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+    power: float = 2.0,
+    normalized: bool = False,
+    method: str = "matmul",
+) -> jnp.ndarray:
+    """Magnitude/power spectrogram of ``x``.
+
+    Args:
+        x: signal ``(..., L)``.
+        n_fft: FFT size.
+        hop_length: hop between frames.
+        win_length: analysis window length (padded to ``n_fft``); default n_fft.
+        window: optional precomputed window of length ``win_length``.
+        center: librosa-style reflect centering.
+        power: 1.0 for magnitude, 2.0 for power.
+        normalized: divide the STFT by ``sqrt(sum(window**2))``
+            (torchaudio ``normalized=True``).
+        method: "matmul" (MXU-friendly real DFT) or "rfft".
+
+    Returns:
+        Spectrogram ``(..., n_frames, n_fft // 2 + 1)``; note time-major
+        layout (librosa returns freq-major; transpose as needed).
+    """
+    if win_length is None:
+        win_length = n_fft
+    if window is None:
+        window = hann_window(win_length, dtype=x.dtype)
+    if win_length < n_fft:
+        # center-pad window to n_fft (librosa util.pad_center semantics)
+        lpad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+
+    frames = frame_signal(x, n_fft, hop_length, center=center)
+    frames = frames * window
+
+    if method == "matmul":
+        c, s = dft_matrices(n_fft, dtype=frames.dtype)
+        re = jnp.matmul(frames, c, precision="highest")
+        im = jnp.matmul(frames, s, precision="highest")
+        sq = re * re + im * im
+    elif method == "rfft":
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        sq = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    else:  # pragma: no cover - defensive
+        raise ValueError(f"Unknown stft method: {method!r}")
+
+    if normalized:
+        sq = sq / jnp.sum(window * window)
+
+    if power == 2.0:
+        return sq
+    if power == 1.0:
+        return jnp.sqrt(sq)
+    return jnp.power(sq, power / 2.0)
