@@ -1,0 +1,305 @@
+"""Sequential windowed datasets with stride schedules.
+
+Parity targets: reference src/data/sequential_dataset.py
+(SequentialKoeMorphDataset / SequentialBatchSampler /
+create_sequential_dataloader) and src/data/adaptive_sequential_dataset.py
+(dense / sparse / progressive / mixed stride scheduling).
+
+TPU-first design: files are decoded once into host arrays; windows are pure
+*index computations* (start frames), and the batcher gathers fixed-size
+(B, window_samples) slices — every batch is static-shape so XLA compiles one
+program. Temporal order within a file is preserved so file-boundary
+temporal-state resets work (exposed via the ``new_file`` flag per window).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Iterator, Optional, Union
+
+import numpy as np
+
+from koemorph_tpu.data.io import load_blendshapes_with_fps, resample_blendshapes
+from koemorph_tpu.data.wav import read_wav, resample_linear
+
+logger = logging.getLogger(__name__)
+PathLike = Union[str, Path]
+
+
+class SequentialKoeMorphDataset:
+    """Overlapping fixed windows in temporal order per file."""
+
+    def __init__(
+        self,
+        data_dir: PathLike,
+        window_frames: int = 256,   # ~8.5 s at 30 fps
+        stride_frames: int = 1,
+        sample_rate: int = 16000,
+        target_fps: int = 30,
+        shuffle_files: bool = True,
+        loop_dataset: bool = False,
+        max_files: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.data_dir = Path(data_dir)
+        self.window_frames = window_frames
+        self.stride_frames = stride_frames
+        self.sample_rate = sample_rate
+        self.target_fps = target_fps
+        self.shuffle_files = shuffle_files
+        self.loop_dataset = loop_dataset
+        self.seed = seed
+
+        self.hop_length = int(sample_rate / target_fps)  # 533 @ 30 fps
+        self.window_samples = window_frames * self.hop_length
+        self.stride_samples = stride_frames * self.hop_length
+
+        self.file_pairs = self._find_file_pairs()
+        if max_files:
+            self.file_pairs = self.file_pairs[:max_files]
+        if not self.file_pairs:
+            raise ValueError(
+                f"No valid audio/JSONL pairs found in {data_dir}")
+
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._epoch = 0
+
+    def _find_file_pairs(self) -> list[tuple[Path, Path]]:
+        pairs = []
+        for audio_path in sorted(self.data_dir.glob("**/*.wav")):
+            jsonl_path = audio_path.with_suffix(".jsonl")
+            if jsonl_path.exists():
+                pairs.append((audio_path, jsonl_path))
+        return pairs
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    # -- per-file loading (cached; decode once, window by index) ----------
+
+    def _load_file(self, file_idx: int) -> tuple[np.ndarray, np.ndarray]:
+        if file_idx in self._cache:
+            return self._cache[file_idx]
+        audio_path, jsonl_path = self.file_pairs[file_idx]
+        audio, sr = read_wav(audio_path, mono=True)
+        if sr != self.sample_rate:
+            audio = resample_linear(audio, sr, self.sample_rate)
+        blendshapes, source_fps = load_blendshapes_with_fps(jsonl_path)
+        if abs(source_fps - self.target_fps) > 0.1:
+            logger.info(
+                "Resampling blendshapes %sfps -> %sfps for %s",
+                source_fps, self.target_fps, audio_path.name)
+            blendshapes = resample_blendshapes(blendshapes, source_fps,
+                                               self.target_fps)
+        # audio/blendshape alignment clamp
+        # (reference sequential_dataset.py:169-179)
+        expected_frames = len(audio) // self.hop_length
+        if abs(len(blendshapes) - expected_frames) > 1:
+            logger.warning(
+                "Frame mismatch in %s: audio suggests %d frames, found %d "
+                "blendshapes", audio_path.name, expected_frames,
+                len(blendshapes))
+        num_frames = min(len(blendshapes), expected_frames)
+        audio = audio[: num_frames * self.hop_length]
+        blendshapes = blendshapes[:num_frames]
+        self._cache[file_idx] = (audio, blendshapes)
+        return audio, blendshapes
+
+    def windows_for_file(self, file_idx: int,
+                         stride_frames: Optional[int] = None) -> np.ndarray:
+        """Start-frame indices of all valid windows for one file."""
+        stride = stride_frames or self.stride_frames
+        _, blendshapes = self._load_file(file_idx)
+        n = (len(blendshapes) - self.window_frames) // stride + 1
+        if n <= 0:
+            return np.empty((0,), dtype=np.int64)
+        return np.arange(n, dtype=np.int64) * stride
+
+    def get_window(self, file_idx: int, start_frame: int) -> dict:
+        """Materialize one fixed-size window."""
+        audio, blendshapes = self._load_file(file_idx)
+        s = int(start_frame)
+        a0 = s * self.hop_length
+        return {
+            "audio": audio[a0 : a0 + self.window_samples],
+            "blendshapes": blendshapes[s : s + self.window_frames],
+            "file_idx": file_idx,
+            "window_idx": s // max(self.stride_frames, 1),
+            "start_frame": s,
+            "file_name": self.file_pairs[file_idx][0].stem,
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            order = np.arange(len(self.file_pairs))
+            if self.shuffle_files:
+                rng = np.random.default_rng(self.seed + self._epoch)
+                rng.shuffle(order)
+            for file_idx in order:
+                try:
+                    starts = self.windows_for_file(int(file_idx))
+                except Exception as e:  # mirror lenient per-file recovery
+                    logger.error("Error processing %s: %s",
+                                 self.file_pairs[int(file_idx)][0], e)
+                    continue
+                for s in starts:
+                    yield self.get_window(int(file_idx), int(s))
+            if not self.loop_dataset:
+                break
+            self._epoch += 1
+
+    def get_num_windows(self) -> int:
+        total = 0
+        for i in range(len(self.file_pairs)):
+            try:
+                total += len(self.windows_for_file(i))
+            except Exception:
+                pass
+        return total
+
+
+class StrideSchedule:
+    """Stride scheduling for adaptive training
+    (reference src/data/adaptive_sequential_dataset.py:111-267).
+
+    Modes:
+    - ``dense``: stride 1 every epoch.
+    - ``sparse``: fixed ``sparse_stride``.
+    - ``progressive``: stride decays linearly from ``sparse_stride`` to 1
+      over ``progressive_epochs``.
+    - ``mixed``: per-epoch random subset of files gets dense stride
+      (``dense_ratio``), the rest sparse.
+    """
+
+    def __init__(
+        self,
+        mode: str = "progressive",
+        sparse_stride: int = 16,
+        progressive_epochs: int = 10,
+        dense_ratio: float = 0.1,
+        seed: int = 0,
+    ):
+        if mode not in ("dense", "sparse", "progressive", "mixed"):
+            raise ValueError(f"Unknown stride mode: {mode}")
+        self.mode = mode
+        self.sparse_stride = sparse_stride
+        self.progressive_epochs = progressive_epochs
+        self.dense_ratio = dense_ratio
+        self.seed = seed
+
+    def stride_for(self, epoch: int, file_idx: int, num_files: int) -> int:
+        if self.mode == "dense":
+            return 1
+        if self.mode == "sparse":
+            return self.sparse_stride
+        if self.mode == "progressive":
+            frac = min(epoch / max(self.progressive_epochs - 1, 1), 1.0)
+            stride = round(self.sparse_stride * (1 - frac) + 1 * frac)
+            return max(1, int(stride))
+        # mixed: deterministic per-epoch random dense subset
+        rng = np.random.default_rng(self.seed + epoch)
+        dense_files = rng.random(num_files) < self.dense_ratio
+        return 1 if dense_files[file_idx] else self.sparse_stride
+
+
+class AdaptiveSequentialDataset(SequentialKoeMorphDataset):
+    """Sequential dataset with per-epoch stride scheduling."""
+
+    def __init__(self, *args, schedule: Optional[StrideSchedule] = None,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.schedule = schedule or StrideSchedule()
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            order = np.arange(len(self.file_pairs))
+            if self.shuffle_files:
+                rng = np.random.default_rng(self.seed + self._epoch)
+                rng.shuffle(order)
+            for file_idx in order:
+                stride = self.schedule.stride_for(
+                    self._epoch, int(file_idx), len(self.file_pairs))
+                try:
+                    starts = self.windows_for_file(int(file_idx),
+                                                   stride_frames=stride)
+                except Exception as e:
+                    logger.error("Error processing %s: %s",
+                                 self.file_pairs[int(file_idx)][0], e)
+                    continue
+                for s in starts:
+                    yield self.get_window(int(file_idx), int(s))
+            if not self.loop_dataset:
+                break
+            self._epoch += 1
+
+
+def sequential_collate(samples: list[dict]) -> dict[str, np.ndarray]:
+    """Stack fixed-size windows into a static-shape batch with file metadata
+    for boundary-aware temporal-state resets."""
+    return {
+        "audio": np.stack([s["audio"] for s in samples]).astype(np.float32),
+        "blendshapes": np.stack(
+            [s["blendshapes"] for s in samples]).astype(np.float32),
+        "file_indices": np.asarray([s["file_idx"] for s in samples],
+                                   np.int32),
+        "window_indices": np.asarray([s["window_idx"] for s in samples],
+                                     np.int32),
+        "start_frames": np.asarray([s["start_frame"] for s in samples],
+                                   np.int32),
+        "file_names": [s["file_name"] for s in samples],
+    }
+
+
+def create_sequential_dataloader(
+    data_dir: PathLike,
+    batch_size: int = 4,
+    window_frames: int = 256,
+    stride_frames: int = 128,
+    drop_last: bool = True,
+    **kwargs,
+):
+    """Batched iterator over sequential windows
+    (reference src/data/sequential_dataset.py:324-364)."""
+    dataset = SequentialKoeMorphDataset(
+        data_dir=data_dir, window_frames=window_frames,
+        stride_frames=stride_frames, **kwargs)
+
+    def iterate():
+        batch: list[dict] = []
+        for sample in dataset:
+            batch.append(sample)
+            if len(batch) == batch_size:
+                yield sequential_collate(batch)
+                batch = []
+        if batch and not drop_last:
+            yield sequential_collate(batch)
+
+    return iterate, dataset
+
+
+def create_adaptive_dataloader(
+    data_dir: PathLike,
+    batch_size: int = 4,
+    window_frames: int = 256,
+    schedule: Optional[StrideSchedule] = None,
+    drop_last: bool = True,
+    **kwargs,
+):
+    """Batched iterator with stride scheduling
+    (reference src/data/adaptive_sequential_dataset.py:308-348)."""
+    dataset = AdaptiveSequentialDataset(
+        data_dir=data_dir, window_frames=window_frames, schedule=schedule,
+        **kwargs)
+
+    def iterate():
+        batch: list[dict] = []
+        for sample in dataset:
+            batch.append(sample)
+            if len(batch) == batch_size:
+                yield sequential_collate(batch)
+                batch = []
+        if batch and not drop_last:
+            yield sequential_collate(batch)
+
+    return iterate, dataset

@@ -11,7 +11,9 @@ blendshape targets.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's profile exports JAX_PLATFORMS=axon (the TPU tunnel); tests must
+# run on the virtual CPU mesh, so override forcibly before jax initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +21,8 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,64 @@
+"""Behavioral DSP tests for on-device F0 (mirrors reference
+tests/features/test_prosody.py: detects a synthesized sine's F0 within
+tolerance, silence -> unvoiced, noise robustness)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koemorph_tpu.ops.f0 import yin_f0
+
+SR = 16000
+
+
+def sine(freq, secs=1.0, amp=0.5):
+    t = np.arange(int(secs * SR)) / SR
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestYinF0:
+    @pytest.mark.parametrize("freq", [110.0, 220.0, 330.0])
+    def test_detects_sine_f0(self, freq):
+        res = yin_f0(jnp.asarray(sine(freq)))
+        f0 = np.asarray(res.f0_hz)
+        voiced = np.asarray(res.voiced_flag)
+        # interior frames (skip edges) must be voiced at ~freq
+        inner = slice(5, -5)
+        assert voiced[inner].mean() > 0.9
+        med = np.median(f0[inner][voiced[inner]])
+        assert abs(med - freq) < freq * 0.03  # 3% tolerance
+
+    def test_silence_unvoiced(self):
+        res = yin_f0(jnp.zeros(SR))
+        assert np.asarray(res.voiced_flag).mean() < 0.1
+        assert np.abs(np.asarray(res.f0_hz)).max() == 0.0
+
+    def test_noise_mostly_unvoiced(self, rng):
+        x = rng.standard_normal(SR).astype(np.float32) * 0.3
+        res = yin_f0(jnp.asarray(x))
+        assert np.asarray(res.voiced_flag).mean() < 0.5
+
+    def test_noisy_sine_still_detected(self, rng):
+        x = sine(220.0) + 0.05 * rng.standard_normal(SR).astype(np.float32)
+        res = yin_f0(jnp.asarray(x))
+        f0 = np.asarray(res.f0_hz)
+        voiced = np.asarray(res.voiced_flag)
+        inner = slice(5, -5)
+        med = np.median(f0[inner][voiced[inner]])
+        assert abs(med - 220.0) < 10.0
+
+    def test_batched(self):
+        x = jnp.stack([jnp.asarray(sine(110.0)), jnp.asarray(sine(220.0))])
+        res = yin_f0(x)
+        assert res.f0_hz.shape[0] == 2
+        m0 = np.median(np.asarray(res.f0_hz)[0, 5:-5])
+        m1 = np.median(np.asarray(res.f0_hz)[1, 5:-5])
+        assert abs(m0 - 110) < 5 and abs(m1 - 220) < 8
+
+    def test_frame_count(self):
+        res = yin_f0(jnp.asarray(sine(220.0, secs=0.5)), hop_length=160)
+        assert res.f0_hz.shape[0] == 1 + (SR // 2) // 160
+
+    def test_frame_length_validation(self):
+        with pytest.raises(ValueError, match="too small"):
+            yin_f0(jnp.zeros(SR), frame_length=128, f0_min=50.0)
