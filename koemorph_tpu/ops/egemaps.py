@@ -1,0 +1,515 @@
+"""On-device eGeMAPS-style 88-D acoustic functionals.
+
+Replaces the OpenSMILE C++ dependency (reference
+src/features/opensmile_extractor.py:227-235: eGeMAPSv02 Functionals over a
+20 s context window, 88 dims) with a fully static-shape jnp pipeline:
+
+  audio (.., L) -> 10 ms-hop LLD matrix -> voiced/unvoiced masked
+  functionals -> (.., 88)
+
+The 88 feature *names* follow the eGeMAPSv02 Functionals layout (Eyben et
+al., "The Geneva Minimalistic Acoustic Parameter Set", IEEE TAC 2016).
+Numerical parity with OpenSMILE is not claimed — formant amplitudes and the
+auditory loudness use documented proxies — but each feature is behaviorally
+validated (F0 of a sine, loudness monotonicity, jitter/shimmer sensitivity,
+HNR of tone vs noise) and the downstream model trains on these features
+end to end, which the reference's untrained pipeline never guaranteed.
+
+Everything jits; the hot path is: framing (gather) -> rFFT -> filterbank
+matmuls -> masked reductions, all MXU/VPU friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koemorph_tpu.ops.f0 import yin_f0
+from koemorph_tpu.ops.mel import mel_filterbank
+from koemorph_tpu.ops.window import frame_signal, hann_window
+
+# ---------------------------------------------------------------------------
+# feature name layout (88)
+# ---------------------------------------------------------------------------
+
+_F0_FUNCTIONALS = (
+    "amean", "stddevNorm", "percentile20.0", "percentile50.0",
+    "percentile80.0", "pctlrange0-2", "meanRisingSlope", "stddevRisingSlope",
+    "meanFallingSlope", "stddevFallingSlope",
+)
+
+
+def feature_names() -> tuple[str, ...]:
+    """The 88 eGeMAPSv02 functional names in this framework's canonical
+    order."""
+    names: list[str] = []
+    names += [f"F0semitoneFrom27.5Hz_sma3nz_{f}" for f in _F0_FUNCTIONALS]
+    names += ["jitterLocal_sma3nz_amean", "jitterLocal_sma3nz_stddevNorm"]
+    names += [f"loudness_sma3_{f}" for f in _F0_FUNCTIONALS]
+    names += ["shimmerLocaldB_sma3nz_amean", "shimmerLocaldB_sma3nz_stddevNorm"]
+    names += ["HNRdBACF_sma3nz_amean", "HNRdBACF_sma3nz_stddevNorm"]
+    names += ["logRelF0-H1-H2_sma3nz_amean", "logRelF0-H1-H2_sma3nz_stddevNorm"]
+    names += ["logRelF0-H1-A3_sma3nz_amean", "logRelF0-H1-A3_sma3nz_stddevNorm"]
+    for i in (1, 2, 3):
+        names += [f"F{i}frequency_sma3nz_amean", f"F{i}frequency_sma3nz_stddevNorm"]
+        names += [f"F{i}bandwidth_sma3nz_amean", f"F{i}bandwidth_sma3nz_stddevNorm"]
+        names += [f"F{i}amplitudeLogRelF0_sma3nz_amean",
+                  f"F{i}amplitudeLogRelF0_sma3nz_stddevNorm"]
+    for band in ("alphaRatioV", "hammarbergIndexV", "slopeV0-500",
+                 "slopeV500-1500", "spectralFluxV", "mfcc1V", "mfcc2V",
+                 "mfcc3V", "mfcc4V"):
+        names += [f"{band}_sma3nz_amean", f"{band}_sma3nz_stddevNorm"]
+    for band in ("alphaRatioUV", "hammarbergIndexUV", "slopeUV0-500",
+                 "slopeUV500-1500", "spectralFluxUV"):
+        names += [f"{band}_sma3nz_amean"]
+    # all-frame (sma3) spectral functionals — what makes v02 sum to 88
+    for band in ("spectralFlux", "mfcc1", "mfcc2", "mfcc3", "mfcc4"):
+        names += [f"{band}_sma3_amean", f"{band}_sma3_stddevNorm"]
+    names += [
+        "loudnessPeaksPerSec",
+        "VoicedSegmentsPerSec",
+        "MeanVoicedSegmentLengthSec",
+        "StddevVoicedSegmentLengthSec",
+        "MeanUnvoicedSegmentLength",
+        "StddevUnvoicedSegmentLength",
+        "equivalentSoundLevel_dBp",
+    ]
+    assert len(names) == 88, len(names)
+    return tuple(names)
+
+
+FEATURE_NAMES = feature_names()
+NUM_FEATURES = 88
+
+
+@dataclasses.dataclass(frozen=True)
+class EgemapsConfig:
+    sample_rate: int = 16000
+    frame_length: int = 400      # 25 ms
+    hop_length: int = 160        # 10 ms
+    n_fft: int = 512
+    f0_min: float = 55.0
+    f0_max: float = 500.0
+    lpc_order: int = 10
+
+
+# ---------------------------------------------------------------------------
+# masked functional helpers
+# ---------------------------------------------------------------------------
+
+def _masked_mean(x, mask, eps=1e-8):
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m, axis=-1) / (jnp.sum(m, axis=-1) + eps)
+
+
+def _masked_std(x, mask, eps=1e-8):
+    mean = _masked_mean(x, mask, eps)
+    var = _masked_mean((x - mean[..., None]) ** 2, mask, eps)
+    return jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+def _stddev_norm(x, mask, eps=1e-8):
+    """Coefficient of variation: stddev / |mean| (eGeMAPS stddevNorm)."""
+    return _masked_std(x, mask, eps) / (jnp.abs(_masked_mean(x, mask, eps))
+                                        + eps)
+
+
+def _masked_percentile(x, mask, q: float):
+    """Percentile over masked values (mask True = include)."""
+    big = jnp.asarray(np.inf, x.dtype)
+    vals = jnp.where(mask, x, big)
+    s = jnp.sort(vals, axis=-1)
+    n = jnp.sum(mask, axis=-1)
+    idx = jnp.clip((q * jnp.maximum(n - 1, 0)).astype(jnp.int32), 0,
+                   x.shape[-1] - 1)
+    picked = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(n > 0, picked, 0.0)
+
+
+def _slope_stats(x, mask, frame_period: float):
+    """Mean/std of rising and falling slopes of the masked contour."""
+    dx = (x[..., 1:] - x[..., :-1]) / frame_period
+    valid = mask[..., 1:] & mask[..., :-1]
+    rising = valid & (dx > 0)
+    falling = valid & (dx < 0)
+    return (
+        _masked_mean(dx, rising), _masked_std(dx, rising),
+        _masked_mean(dx, falling), _masked_std(dx, falling),
+    )
+
+
+def _segment_stats(mask, frame_period: float, eps=1e-8):
+    """Voiced/unvoiced segment statistics from a boolean contour."""
+    m = mask.astype(jnp.float32)
+    starts = jnp.maximum(m[..., 1:] - m[..., :-1], 0.0)
+    n_segments = jnp.sum(starts, axis=-1) + m[..., 0]
+    total = jnp.sum(m, axis=-1)
+    mean_len = total / (n_segments + eps) * frame_period
+
+    # per-segment length stddev via run-length trick: position-weighted sums
+    # E[len^2] = sum over segments len_i^2; computed with a scan-free
+    # approximation using segment count and the second moment of the
+    # "distance into current segment" counter.
+    idx = jnp.arange(m.shape[-1], dtype=jnp.float32)
+
+    def run_positions(mm):
+        # value = consecutive run length at each position (associative scan)
+        def op(a, b):
+            # composing runs: (count, is_all_ones)
+            ca, fa = a
+            cb, fb = b
+            return (jnp.where(fb > 0, ca * fb + cb, cb), fa * fb)
+
+        counts, _ = jax.lax.associative_scan(op, (mm, mm), axis=-1)
+        return counts
+
+    runs = run_positions(m)
+    # a segment's final length appears where the run ends
+    seg_end = m * jnp.concatenate(
+        [1.0 - m[..., 1:], jnp.ones_like(m[..., :1])], axis=-1)
+    seg_lengths_sum = jnp.sum(runs * seg_end, axis=-1)
+    seg_lengths_sq = jnp.sum((runs * seg_end) ** 2, axis=-1)
+    mean2 = seg_lengths_sum / (n_segments + eps)
+    var = seg_lengths_sq / (n_segments + eps) - mean2 ** 2
+    std_len = jnp.sqrt(jnp.maximum(var, 0.0)) * frame_period
+    del idx, mean_len
+    return n_segments, mean2 * frame_period, std_len
+
+
+# ---------------------------------------------------------------------------
+# LLD computation
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _mfcc_dct(n_mels: int = 26, n_out: int = 4) -> np.ndarray:
+    k = np.arange(1, n_out + 1)[:, None]
+    n = np.arange(n_mels)[None, :]
+    basis = np.cos(np.pi * k * (2 * n + 1) / (2 * n_mels))
+    return (basis * np.sqrt(2.0 / n_mels)).astype(np.float32)
+
+
+def _levinson(r: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Levinson-Durbin: autocorrelation (..., order+1) -> inverse (error)
+    filter coefficients A = [1, a_1, ..., a_p] such that
+    ``A @ [x_n, x_{n-1}, ...]`` is the prediction residual. Unrolled (order
+    is small and static); validated against a direct Toeplitz solve."""
+    # run the recursion in predictor convention (x_n ~= sum p_j x_{n-j}) ...
+    p = jnp.zeros(r.shape[:-1] + (order + 1,), r.dtype)
+    err = r[..., 0] + 1e-9
+    for i in range(1, order + 1):
+        acc = jnp.zeros_like(err)
+        for j in range(1, i):
+            acc = acc + p[..., j] * r[..., i - j]
+        k = (r[..., i] - acc) / err
+        new_p = p
+        for j in range(1, i):
+            new_p = new_p.at[..., j].set(p[..., j] - k * p[..., i - j])
+        new_p = new_p.at[..., i].set(k)
+        p = new_p
+        err = err * (1.0 - k * k) + 1e-12
+    # ... then flip to the error-filter polynomial: A = [1, -p_1, ..., -p_p]
+    return (-p).at[..., 0].set(1.0)
+
+
+def _formants_from_envelope(env_db: jnp.ndarray, freqs: np.ndarray,
+                            n_formants: int = 3):
+    """First ``n_formants`` peaks of an LPC envelope (dB) on a fixed grid.
+
+    Returns (freq, bandwidth, amp_db) each (..., n_formants). Peaks are local
+    maxima ranked by frequency; bandwidth is a -3 dB half-width proxy.
+    """
+    prev = jnp.concatenate([env_db[..., :1] - 1, env_db[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([env_db[..., 1:], env_db[..., -1:] - 1], axis=-1)
+    is_peak = (env_db >= prev) & (env_db > nxt) & (freqs[None, :] > 200.0)
+
+    # rank peaks by frequency: take the first 3 via top-k on (is_peak * -freq)
+    score = jnp.where(is_peak, -freqs[None, :], -np.inf)
+    top_score, idx = jax.lax.top_k(score, n_formants)
+    # entries with -inf score are not peaks; pin them to the last grid slot
+    # so sorting puts real (low-frequency) peaks first
+    valid = jnp.isfinite(top_score)
+    idx = jnp.where(valid, idx, env_db.shape[-1] - 1)
+    idx = jnp.sort(idx, axis=-1)
+
+    f = jnp.take(jnp.asarray(freqs), idx)
+    amp = jnp.take_along_axis(env_db, idx, axis=-1)
+    # -3 dB bandwidth proxy from local curvature
+    y0 = jnp.take_along_axis(prev, idx, axis=-1)
+    y2 = jnp.take_along_axis(nxt, idx, axis=-1)
+    curv = jnp.maximum(2 * amp - y0 - y2, 1e-3)
+    df = float(freqs[1] - freqs[0])
+    bw = 2.0 * df * jnp.sqrt(jnp.maximum(2.0 * 3.0 / curv, 0.0))
+    has_peak = jnp.take_along_axis(is_peak, idx, axis=-1)
+    return (jnp.where(has_peak, f, 0.0), jnp.where(has_peak, bw, 0.0),
+            jnp.where(has_peak, amp, 0.0))
+
+
+def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
+                 ) -> dict[str, jnp.ndarray]:
+    """Frame-level low-level descriptors of ``audio (..., L)``.
+
+    Returns a dict of (..., T) arrays plus the voiced mask.
+    """
+    sr = cfg.sample_rate
+    frames = frame_signal(audio, cfg.frame_length, cfg.hop_length,
+                          center=True)
+    window = hann_window(cfg.frame_length)
+    wframes = frames * window
+
+    # --- F0 / voicing ---
+    f0res = yin_f0(audio, sample_rate=sr, frame_length=512,
+                   hop_length=cfg.hop_length, f0_min=cfg.f0_min,
+                   f0_max=cfg.f0_max)
+    t = min(frames.shape[-2], f0res.f0_hz.shape[-1])
+    f0 = f0res.f0_hz[..., :t]
+    voiced = f0res.voiced_flag[..., :t]
+    wframes = wframes[..., :t, :]
+    frames = frames[..., :t, :]
+
+    f0_semitone = jnp.where(
+        f0 > 0, 12.0 * jnp.log2(jnp.maximum(f0, 1e-3) / 27.5), 0.0)
+
+    # --- spectrum ---
+    spec = jnp.fft.rfft(wframes, n=cfg.n_fft, axis=-1)
+    mag = jnp.abs(spec) + 1e-10
+    power = mag * mag
+    n_bins = cfg.n_fft // 2 + 1
+    freqs = np.linspace(0, sr / 2, n_bins).astype(np.float32)
+    bin_hz = sr / cfg.n_fft
+
+    # --- loudness proxy: auditory (mel) energy ^ 0.3 (Stevens law) ---
+    fb = mel_filterbank(sr, cfg.n_fft, 26, 20.0, sr / 2, htk=True, norm=None)
+    mel_energy = jnp.matmul(power, fb)
+    loudness = jnp.power(jnp.sum(mel_energy, axis=-1) + 1e-10, 0.3)
+
+    # --- jitter (F0 period variation, frame-to-frame proxy) ---
+    period = jnp.where(f0 > 0, 1.0 / jnp.maximum(f0, 1e-3), 0.0)
+    dperiod = jnp.abs(period[..., 1:] - period[..., :-1])
+    pair_voiced = voiced[..., 1:] & voiced[..., :-1]
+    jitter = jnp.where(
+        pair_voiced, dperiod / jnp.maximum(period[..., 1:], 1e-6), 0.0)
+    jitter = jnp.concatenate([jitter[..., :1] * 0, jitter], axis=-1)
+
+    # --- shimmer dB (frame amplitude variation) ---
+    amp = jnp.sqrt(jnp.mean(frames * frames, axis=-1) + 1e-12)
+    shimmer = jnp.abs(20.0 * (jnp.log10(amp[..., 1:] + 1e-9)
+                              - jnp.log10(amp[..., :-1] + 1e-9)))
+    shimmer = jnp.where(pair_voiced, shimmer, 0.0)
+    shimmer = jnp.concatenate([shimmer[..., :1] * 0, shimmer], axis=-1)
+
+    # --- HNR via autocorrelation at the F0 lag ---
+    fftsize = int(2 ** np.ceil(np.log2(2 * cfg.frame_length)))
+    fspec = jnp.fft.rfft(frames, n=fftsize, axis=-1)
+    acf = jnp.fft.irfft(fspec * jnp.conj(fspec), n=fftsize, axis=-1)
+    r0 = acf[..., 0] + 1e-12
+    lag = jnp.clip((sr / jnp.maximum(f0, 1.0)).astype(jnp.int32), 1,
+                   acf.shape[-1] - 1)
+    r_lag = jnp.take_along_axis(acf, lag[..., None], axis=-1)[..., 0]
+    ratio = jnp.clip(r_lag / r0, 1e-4, 1 - 1e-4)
+    hnr_db = 10.0 * jnp.log10(ratio / (1.0 - ratio))
+    hnr_db = jnp.where(voiced, hnr_db, 0.0)
+
+    # --- harmonic differences H1-H2, H1-A3 ---
+    h1_bin = jnp.clip((f0 / bin_hz).astype(jnp.int32), 1, n_bins - 1)
+    h2_bin = jnp.clip((2 * f0 / bin_hz).astype(jnp.int32), 1, n_bins - 1)
+    mag_db = 20.0 * jnp.log10(mag)
+    h1 = jnp.take_along_axis(mag_db, h1_bin[..., None], axis=-1)[..., 0]
+    h2 = jnp.take_along_axis(mag_db, h2_bin[..., None], axis=-1)[..., 0]
+    h1_h2 = jnp.where(voiced, h1 - h2, 0.0)
+
+    # --- band energies for alpha ratio / hammarberg / slopes ---
+    def band(lo, hi):
+        m = ((freqs >= lo) & (freqs < hi)).astype(np.float32)
+        return jnp.sum(power * m, axis=-1) + 1e-10
+
+    alpha_ratio = 10.0 * (jnp.log10(band(50, 1000)) - jnp.log10(band(1000, 5000)))
+    m02 = (freqs < 2000).astype(np.float32)
+    m25 = ((freqs >= 2000) & (freqs < 5000)).astype(np.float32)
+    hammarberg = 20.0 * (
+        jnp.log10(jnp.max(mag * m02, axis=-1) + 1e-10)
+        - jnp.log10(jnp.max(mag * m25, axis=-1) + 1e-10))
+
+    def slope(lo, hi):
+        sel = (freqs >= lo) & (freqs < hi)
+        fsel = freqs[sel]
+        y = mag_db[..., sel]
+        fc = fsel - fsel.mean()
+        denom = float((fc * fc).sum())
+        return jnp.sum(y * fc, axis=-1) / denom
+
+    slope_0_500 = slope(0, 500)
+    slope_500_1500 = slope(500, 1500)
+
+    # --- spectral flux ---
+    dmag = mag[..., 1:, :] - mag[..., :-1, :]
+    flux = jnp.sum(dmag * dmag, axis=-1)
+    flux = jnp.concatenate([flux[..., :1, ] * 0, flux], axis=-1)
+
+    # --- MFCC 1-4 ---
+    log_mel = jnp.log(mel_energy + 1e-10)
+    dct = jnp.asarray(_mfcc_dct(26, 4))
+    mfcc = jnp.einsum("...tm,km->...tk", log_mel, dct)
+
+    # --- formants via LPC envelope (windowed-frame autocorrelation) ---
+    wfspec = jnp.fft.rfft(wframes, n=fftsize, axis=-1)
+    wacf = jnp.fft.irfft(wfspec * jnp.conj(wfspec), n=fftsize, axis=-1)
+    r = wacf[..., : cfg.lpc_order + 1]
+    a = _levinson(r, cfg.lpc_order)
+    # envelope on a 128-point grid up to 4 kHz
+    grid = np.linspace(50.0, 4000.0, 128).astype(np.float32)
+    omega = 2 * np.pi * grid / sr
+    k = np.arange(cfg.lpc_order + 1)
+    e_re = np.cos(np.outer(omega, k)).astype(np.float32)  # (G, order+1)
+    e_im = np.sin(np.outer(omega, k)).astype(np.float32)
+    a_re = jnp.einsum("...k,gk->...g", a, jnp.asarray(e_re))
+    a_im = jnp.einsum("...k,gk->...g", a, jnp.asarray(e_im))
+    env_db = -10.0 * jnp.log10(a_re * a_re + a_im * a_im + 1e-10)
+    fmt_f, fmt_bw, fmt_amp = _formants_from_envelope(env_db, grid)
+    # amplitude relative to H1 (log-rel-F0)
+    fmt_rel = jnp.where(voiced[..., None], fmt_amp - h1[..., None], 0.0)
+    h1_a3 = jnp.where(voiced, h1 - fmt_amp[..., 2], 0.0)
+
+    return {
+        "f0_semitone": f0_semitone, "voiced": voiced, "f0_hz": f0,
+        "jitter": jitter, "loudness": loudness, "shimmer_db": shimmer,
+        "hnr_db": hnr_db, "h1_h2": h1_h2, "h1_a3": h1_a3,
+        "alpha_ratio": alpha_ratio, "hammarberg": hammarberg,
+        "slope_0_500": slope_0_500, "slope_500_1500": slope_500_1500,
+        "spectral_flux": flux, "mfcc": mfcc,
+        "formant_freq": fmt_f, "formant_bw": fmt_bw, "formant_rel": fmt_rel,
+        "frame_power": amp * amp,
+    }
+
+
+# ---------------------------------------------------------------------------
+# functionals -> 88-D vector
+# ---------------------------------------------------------------------------
+
+def egemaps_functionals(audio: jnp.ndarray,
+                        cfg: EgemapsConfig = EgemapsConfig()) -> jnp.ndarray:
+    """88-D eGeMAPS-style functional vector of ``audio (..., L)`` ->
+    ``(..., 88)``, ordered per :data:`FEATURE_NAMES`."""
+    lld = compute_llds(audio, cfg)
+    return functionals_from_llds(lld, cfg)
+
+
+def functionals_from_llds(
+    lld: dict[str, jnp.ndarray],
+    cfg: EgemapsConfig = EgemapsConfig(),
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Functionals over a precomputed LLD matrix, optionally restricted to
+    ``frame_mask`` (..., T). Computing LLDs once and reducing under several
+    masks is how the 3-offset concatenated-eGeMAPS feature is produced in a
+    single pass (vs the reference's three OpenSMILE invocations,
+    opensmile_extractor.py:460-502)."""
+    voiced = lld["voiced"]
+    if frame_mask is not None:
+        voiced = voiced & frame_mask
+        all_mask = jnp.broadcast_to(frame_mask, voiced.shape)
+    else:
+        all_mask = jnp.ones_like(voiced)
+    unvoiced = (~lld["voiced"]) & all_mask
+    fp = cfg.hop_length / cfg.sample_rate  # frame period (s)
+
+    feats: list[jnp.ndarray] = []
+
+    def contour_functionals(x, mask):
+        out = [
+            _masked_mean(x, mask), _stddev_norm(x, mask),
+            _masked_percentile(x, mask, 0.2),
+            _masked_percentile(x, mask, 0.5),
+            _masked_percentile(x, mask, 0.8),
+        ]
+        out.append(out[4] - out[2])  # pctlrange0-2
+        mr, sr_, mf, sf = _slope_stats(x, mask, fp)
+        out += [mr, sr_, mf, sf]
+        return out
+
+    # F0 (10)
+    feats += contour_functionals(lld["f0_semitone"], voiced)
+    # jitter (2)
+    feats += [_masked_mean(lld["jitter"], voiced),
+              _stddev_norm(lld["jitter"], voiced)]
+    # loudness (10) — over all frames (sma3, not nz)
+    feats += contour_functionals(lld["loudness"], all_mask)
+    # shimmer (2), HNR (2), H1-H2 (2), H1-A3 (2)
+    for key in ("shimmer_db", "hnr_db", "h1_h2", "h1_a3"):
+        feats += [_masked_mean(lld[key], voiced),
+                  _stddev_norm(lld[key], voiced)]
+    # formants (18): freq/bw/amp-rel x mean/stddevNorm x 3
+    for i in range(3):
+        for arr in (lld["formant_freq"][..., i], lld["formant_bw"][..., i],
+                    lld["formant_rel"][..., i]):
+            feats += [_masked_mean(arr, voiced), _stddev_norm(arr, voiced)]
+    # voiced spectral (18): alpha, hammarberg, slopes, flux, mfcc1-4
+    v_spectral = [lld["alpha_ratio"], lld["hammarberg"], lld["slope_0_500"],
+                  lld["slope_500_1500"], lld["spectral_flux"],
+                  lld["mfcc"][..., 0], lld["mfcc"][..., 1],
+                  lld["mfcc"][..., 2], lld["mfcc"][..., 3]]
+    for arr in v_spectral:
+        feats += [_masked_mean(arr, voiced), _stddev_norm(arr, voiced)]
+    # unvoiced spectral (5): amean only
+    for arr in v_spectral[:5]:
+        feats += [_masked_mean(arr, unvoiced)]
+    # all-frame spectral (10): flux + mfcc1-4, mean + stddevNorm
+    for arr in (lld["spectral_flux"], lld["mfcc"][..., 0],
+                lld["mfcc"][..., 1], lld["mfcc"][..., 2],
+                lld["mfcc"][..., 3]):
+        feats += [_masked_mean(arr, all_mask), _stddev_norm(arr, all_mask)]
+
+    # temporal (6) + equivalent sound level (1)
+    duration = jnp.sum(all_mask, axis=-1) * fp
+    loud = lld["loudness"]
+    l_prev = jnp.concatenate([loud[..., :1], loud[..., :-1]], axis=-1)
+    l_next = jnp.concatenate([loud[..., 1:], loud[..., -1:]], axis=-1)
+    thresh = (_masked_mean(loud, all_mask)[..., None] * 1.1)
+    peaks = (loud > l_prev) & (loud >= l_next) & (loud > thresh) & all_mask
+    feats += [jnp.sum(peaks, axis=-1) / duration]
+
+    n_v, mean_v, std_v = _segment_stats(voiced, fp)
+    _, mean_uv, std_uv = _segment_stats(unvoiced, fp)
+    feats += [n_v / duration, mean_v, std_v, mean_uv, std_uv]
+
+    eq_level = 10.0 * jnp.log10(
+        _masked_mean(lld["frame_power"], all_mask) + 1e-12)
+    feats += [eq_level]
+
+    out = jnp.stack(feats, axis=-1)
+    assert out.shape[-1] == NUM_FEATURES, out.shape
+    # OpenSMILE-style NaN/Inf scrub (reference opensmile_extractor.py:449-452)
+    return jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def egemaps_concat_windows(
+    audio: jnp.ndarray,
+    cfg: EgemapsConfig = EgemapsConfig(),
+    offsets_sec: tuple[float, ...] = (0.0, 0.3, 0.6),
+) -> jnp.ndarray:
+    """Concatenated multi-offset functionals: (..., L) -> (..., 88 * len).
+
+    For each offset ``o`` the functionals are computed over the window
+    *ending* ``o`` seconds before the end of ``audio`` (reference
+    opensmile_extractor.py:504-527: same 20 s buffer, ending earlier). LLDs
+    are computed once; each offset is just a different frame mask — one
+    pass on device instead of three library invocations.
+
+    The reference's 264 -> 256 compression Linear lives in the *model* as a
+    trained parameter (see DualStreamModelConfig.emotion_projection), fixing
+    the untrained-lazy-Linear defect noted in SURVEY.md section 2.2.
+    """
+    lld = compute_llds(audio, cfg)
+    t = lld["voiced"].shape[-1]
+    fp = cfg.hop_length / cfg.sample_rate
+    idx = jnp.arange(t)
+    outs = []
+    for off in offsets_sec:
+        cut = t - int(round(off / fp))
+        mask = idx < cut
+        mask = jnp.broadcast_to(mask, lld["voiced"].shape)
+        outs.append(functionals_from_llds(lld, cfg, frame_mask=mask))
+    return jnp.concatenate(outs, axis=-1)

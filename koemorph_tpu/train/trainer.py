@@ -1,0 +1,374 @@
+"""Trainers: legacy frame model, dual-stream, and sequential dual-stream.
+
+Parity targets: ``KoeMorphTrainer`` (reference src/train.py:32),
+``DualStreamTrainer`` (src/train_dual_stream.py:32) and
+``SequentialTrainer`` (src/train_sequential.py:34). The reference's
+dual-stream/sequential trainers are broken as written (wrong batch keys,
+missing loss imports, shape-mismatched criterion — SURVEY.md section 2.6);
+this module fix-forwards that wiring:
+
+- batch keys match what the data pipeline actually emits
+  (``audio``/``arkit`` map-style, ``audio``/``blendshapes`` sequential);
+- the sequential criterion compares the model's T_out output frames against
+  the *output-aligned* target frames (window end + stride), instead of the
+  reference's (B, T_out, 52) vs (B, W, 52) mismatch.
+
+TPU-first structure: one jitted train step (value_and_grad + optax update)
+over a data mesh — batches sharded on axis 0, params replicated, gradient
+psum inserted by XLA. The epoch loop is host-side Python that only feeds
+batches and logs scalars; there is no per-step device->host sync except the
+logged metrics (fetched every ``log_every_n_steps``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from koemorph_tpu.models.losses import (
+    KoeMorphLossConfig,
+    dual_stream_loss,
+    koemorph_loss,
+    sequence_koemorph_loss,
+)
+from koemorph_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_multiple,
+    replicate,
+    shard_batch,
+)
+from koemorph_tpu.train.checkpoint import CheckpointManager
+from koemorph_tpu.train.optim import create_lr_schedule, create_optimizer
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "TrainState", "create_train_state", "Trainer",
+    "KoeMorphTrainer", "DualStreamTrainer", "SequentialTrainer",
+    "loss_config_from", "sequence_targets",
+]
+
+
+class TrainState(train_state.TrainState):
+    """Flax TrainState; dropout rng folds in the step counter."""
+
+    dropout_rng: jax.Array = None
+
+    def step_rng(self) -> jax.Array:
+        return jax.random.fold_in(self.dropout_rng, self.step)
+
+
+def create_train_state(model, rng: jax.Array, example_inputs: tuple,
+                       tx: optax.GradientTransformation,
+                       init_kwargs: Optional[dict] = None) -> TrainState:
+    params_rng, dropout_rng = jax.random.split(rng)
+    # jit the init: eager init dispatches the whole frontend op-by-op, which
+    # is pathological through the TPU tunnel (minutes vs seconds)
+    init_fn = jax.jit(
+        lambda r, *a: model.init(r, *a, **(init_kwargs or {})))
+    variables = init_fn(params_rng, *example_inputs)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        dropout_rng=dropout_rng)
+
+
+def loss_config_from(cfg: dict) -> KoeMorphLossConfig:
+    loss_cfg = cfg.get("loss", {}) if cfg else {}
+    fields = {f.name for f in dataclasses.fields(KoeMorphLossConfig)}
+    return KoeMorphLossConfig(
+        **{k: float(v) for k, v in loss_cfg.items() if k in fields})
+
+
+def sequence_targets(blendshapes: jnp.ndarray, window_frames: int,
+                     stride_frames: int, n_out: int) -> jnp.ndarray:
+    """Target frames aligned with the sequential model's output frames:
+    output i corresponds to input frame ``window_frames - 1 + i*stride``."""
+    idx = window_frames - 1 + np.arange(n_out) * stride_frames
+    idx = np.clip(idx, 0, blendshapes.shape[1] - 1)
+    return blendshapes[:, idx, :]
+
+
+class Trainer:
+    """Shared epoch/validation/checkpoint/early-stopping machinery.
+
+    Subclasses define :meth:`loss_fn` (params, batch, rng) -> (loss, metrics)
+    and :meth:`init_inputs` (example model inputs for parameter init).
+    """
+
+    def __init__(
+        self,
+        model,
+        config: dict,
+        *,
+        work_dir: str | Path = "outputs/run",
+        mesh=None,
+        steps_per_epoch: int = 100,
+        seed: int = 42,
+    ):
+        self.model = model
+        self.config = config or {}
+        self.train_cfg = self.config.get("training", self.config)
+        self.work_dir = Path(work_dir)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.steps_per_epoch = steps_per_epoch
+
+        schedule = create_lr_schedule(self.train_cfg, steps_per_epoch)
+        self._schedule = schedule
+        tx = create_optimizer(self.train_cfg, steps_per_epoch,
+                              schedule=schedule)
+        rng = jax.random.PRNGKey(int(self.train_cfg.get("seed", seed)))
+        self.state = create_train_state(model, rng, self.init_inputs(), tx)
+        self.state = self.state.replace(
+            params=replicate(self.state.params, self.mesh),
+            opt_state=replicate(self.state.opt_state, self.mesh))
+
+        self.checkpoints = CheckpointManager(
+            self.work_dir / "checkpoints",
+            keep_epoch_every=int(
+                self.train_cfg.get("checkpoint", {}).get(
+                    "keep_epoch_every", 10)),
+            config=_plain(self.config))
+        self.writer = self._make_writer()
+        self.epoch = 0
+        self.global_step = 0
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- subclass surface --------------------------------------------------
+
+    def init_inputs(self) -> tuple:
+        raise NotImplementedError
+
+    def loss_fn(self, params, batch, rng):
+        raise NotImplementedError
+
+    # -- steps ---------------------------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch):
+        rng = state.step_rng()
+
+        def compute(params):
+            return self.loss_fn(params, batch, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, batch):
+        loss, metrics = self.loss_fn(state.params, batch, None)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    # -- loops ---------------------------------------------------------------
+
+    def _prepare(self, batch: dict):
+        batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        batch, _ = pad_batch_to_multiple(batch, self.mesh.devices.size)
+        return shard_batch(batch, self.mesh)
+
+    def train_epoch(self, loader: Iterable[dict]) -> dict[str, float]:
+        log_every = int(self.train_cfg.get("logging", {})
+                        .get("log_every_n_steps", 50))
+        collected: list[dict] = []   # device arrays; no host sync per step
+        t0 = time.time()
+        for batch in loader:
+            self.state, metrics = self._train_step(
+                self.state, self._prepare(batch))
+            self.global_step += 1
+            collected.append(metrics)
+            if self.global_step % log_every == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["lr"] = float(self._schedule(self.global_step))
+                self._log_scalars("train", host, self.global_step)
+        if not collected:
+            return {}
+        logger.info("epoch %d: %d steps in %.1fs", self.epoch,
+                    len(collected), time.time() - t0)
+        return {k: float(np.mean([np.asarray(m[k]) for m in collected]))
+                for k in collected[0]}
+
+    def validate(self, loader: Iterable[dict]) -> dict[str, float]:
+        sums: dict[str, float] = {}
+        count = 0
+        for batch in loader:
+            metrics = self._eval_step(self.state, self._prepare(batch))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        out = {k: v / max(1, count) for k, v in sums.items()}
+        self._log_scalars("val", out, self.global_step)
+        return out
+
+    def fit(self, train_loader_fn: Callable[[], Iterable[dict]],
+            val_loader_fn: Optional[Callable[[], Iterable[dict]]] = None,
+            max_epochs: Optional[int] = None) -> dict:
+        max_epochs = max_epochs or int(self.train_cfg.get("max_epochs", 1))
+        check_every = int(self.train_cfg.get("check_val_every_n_epoch", 1))
+        es_cfg = self.train_cfg.get("early_stopping", {})
+        patience = int(es_cfg.get("patience", 0) or 0)
+        best, since_best = float("inf"), 0
+        history = {"train": [], "val": []}
+
+        for self.epoch in range(self.epoch, max_epochs):
+            train_metrics = self.train_epoch(train_loader_fn())
+            history["train"].append(train_metrics)
+            val_loss = None
+            if val_loader_fn is not None and \
+                    (self.epoch + 1) % check_every == 0:
+                val_metrics = self.validate(val_loader_fn())
+                history["val"].append(val_metrics)
+                val_loss = val_metrics.get("loss")
+            self.checkpoints.save(
+                self.state.params, epoch=self.epoch,
+                global_step=self.global_step, val_loss=val_loss)
+            if val_loss is not None:
+                if val_loss < best:
+                    best, since_best = val_loss, 0
+                else:
+                    since_best += 1
+                    if patience and since_best >= patience:
+                        logger.info("Early stopping at epoch %d", self.epoch)
+                        break
+        return history
+
+    # -- logging ---------------------------------------------------------------
+
+    def _make_writer(self):
+        if not self.train_cfg.get("logging", {}).get("tensorboard", True):
+            return None
+        try:
+            from tensorboardX import SummaryWriter
+            return SummaryWriter(str(self.work_dir / "tb"))
+        except Exception:  # pragma: no cover - optional dep
+            return None
+
+    def _log_scalars(self, prefix: str, scalars: dict, step: int) -> None:
+        if self.writer is None:
+            return
+        for k, v in scalars.items():
+            if np.isscalar(v) or getattr(v, "ndim", 1) == 0:
+                self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+def _plain(cfg: Any) -> Any:
+    if isinstance(cfg, dict):
+        return {k: _plain(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        return [_plain(v) for v in cfg]
+    return cfg
+
+
+class KoeMorphTrainer(Trainer):
+    """Legacy trainer: first-frame target reduction ``arkit[:, 0, :]``
+    (reference src/train.py:181-182) against the simplified frame model."""
+
+    def __init__(self, model, config: dict, *, audio_samples: int = 16000,
+                 **kw):
+        self.audio_samples = audio_samples
+        self.loss_config = loss_config_from(
+            (config or {}).get("training", config or {}))
+        super().__init__(model, config, **kw)
+
+    def init_inputs(self) -> tuple:
+        return (jnp.zeros((1, self.audio_samples), jnp.float32),)
+
+    def loss_fn(self, params, batch, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        pred = self.state.apply_fn(
+            {"params": params}, batch["audio"],
+            deterministic=rng is None, rngs=rngs)
+        target = batch["arkit"][:, 0, :]
+        return koemorph_loss(pred, target, config=self.loss_config)
+
+
+class DualStreamTrainer(Trainer):
+    """Single-window dual-stream trainer with the stream-separation
+    regularizer (reference src/train_dual_stream.py:434-516, fixed wiring)."""
+
+    def __init__(self, model, config: dict, *, audio_samples: Optional[int]
+                 = None, **kw):
+        cfg = config or {}
+        tcfg = cfg.get("training", cfg).get("loss", {})
+        self.l1_weight = float(tcfg.get("l1_weight", 1.0))
+        self.l2_weight = float(tcfg.get("l2_weight",
+                                        tcfg.get("mse_weight", 0.5)))
+        self.velocity_weight = float(tcfg.get("velocity_weight_seq", 0.1))
+        self.separation_weight = float(
+            tcfg.get("stream_separation_weight", 0.01))
+        self.audio_samples = audio_samples or (
+            model.mel_sequence_length * int(
+                model.sample_rate / model.target_fps))
+        super().__init__(model, config, **kw)
+
+    def init_inputs(self) -> tuple:
+        return (jnp.zeros((1, self.audio_samples), jnp.float32),)
+
+    def loss_fn(self, params, batch, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        pred = self.state.apply_fn(
+            {"params": params}, batch["audio"],
+            deterministic=rng is None, rngs=rngs)["blendshapes"]
+        target = batch["blendshapes"]
+        if target.ndim == 3:  # (B, W, 52) window -> last frame is aligned
+            target = target[:, -1, :]
+        attn = params.get("dual_stream_attention", {})
+        mel_w = attn.get("mel_weights")
+        emo_w = attn.get("emotion_weights")
+        return dual_stream_loss(
+            pred, target, mel_weights=mel_w, emotion_weights=emo_w,
+            l1_weight=self.l1_weight, l2_weight=self.l2_weight,
+            separation_weight=self.separation_weight)
+
+
+class SequentialTrainer(Trainer):
+    """Sequence trainer over the sequential dual-stream model: each sample is
+    a span longer than the model window; the model emits T_out frames in one
+    forward (windows batched on the MXU) and the loss compares them against
+    output-aligned targets with temporal/velocity terms
+    (reference src/train_sequential.py:34, criterion fixed)."""
+
+    def __init__(self, model, config: dict, *,
+                 span_frames: Optional[int] = None, **kw):
+        cfg = config or {}
+        self.loss_config = loss_config_from(cfg.get("training", cfg))
+        if self.loss_config.temporal_weight == 0 and \
+                self.loss_config.velocity_weight == 0:
+            self.loss_config = dataclasses.replace(
+                self.loss_config, velocity_weight=0.1)
+        data_cfg = cfg.get("data", {})
+        self.span_frames = span_frames or int(
+            data_cfg.get("window_frames", model.window_frames + 32))
+        if self.span_frames <= model.window_frames:
+            self.span_frames = model.window_frames + 32
+        self.hop = int(model.sample_rate / model.target_fps)
+        super().__init__(model, config, **kw)
+
+    def init_inputs(self) -> tuple:
+        return (jnp.zeros((1, self.span_frames * self.hop), jnp.float32),)
+
+    def loss_fn(self, params, batch, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        out = self.state.apply_fn(
+            {"params": params}, batch["audio"],
+            deterministic=rng is None, rngs=rngs)
+        pred_seq = out["blendshapes"]              # (B, T_out, 52)
+        target_seq = sequence_targets(
+            batch["blendshapes"], self.model.window_frames,
+            self.model.stride_frames, pred_seq.shape[1])
+        return sequence_koemorph_loss(pred_seq, target_seq,
+                                      config=self.loss_config)

@@ -1,0 +1,180 @@
+"""Tests for the production dual-stream models (single-window + sequential).
+
+Covers: end-to-end audio->blendshapes shapes/ranges, EMA smoothing semantics
+vs a naive reference loop, parallel-vs-scan decode equivalence, temporal
+state reset, trained emotion projection presence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koemorph_tpu.models.dual_stream_model import (
+    SequentialDualStreamModel,
+    SimplifiedDualStreamModel,
+    TemporalState,
+    _ema_associative,
+)
+
+SR = 16000
+
+
+def speechy(seed=0, secs=3.0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * SR)) / SR
+    x = sum(0.2 * np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+            for f in (120, 240, 360, 720))
+    x = x * (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t) ** 2)
+    return (x + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def audio_batch():
+    return jnp.asarray(np.stack([speechy(0), speechy(1)]))
+
+
+class TestEmaAssociative:
+    def test_matches_naive_loop(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, (12, 3, 52)), jnp.float32)
+        alpha = 0.7
+        got = np.asarray(_ema_associative(x, jnp.asarray(alpha)))
+        want = np.zeros_like(got)
+        want[0] = np.asarray(x[0])
+        for t in range(1, 12):
+            want[t] = alpha * np.asarray(x[t]) + (1 - alpha) * want[t - 1]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestSimplifiedDualStream:
+    @pytest.fixture(scope="class")
+    def model_and_params(self, audio_batch=None):
+        mod = SimplifiedDualStreamModel(dropout=0.0,
+                                        emotion_backend="basic")
+        audio = jnp.zeros((2, SR))
+        params = mod.init(jax.random.key(0), audio)
+        return mod, params
+
+    def test_forward_shapes(self, model_and_params, audio_batch):
+        mod, params = model_and_params
+        audio = audio_batch[:, :SR]
+        out = mod.apply(params, audio)
+        bs = np.asarray(out["blendshapes"])
+        assert bs.shape == (2, 52)
+        assert bs.min() >= 0.0 and bs.max() <= 1.0
+
+    def test_trained_emotion_projection_exists(self, model_and_params):
+        _, params = model_and_params
+        assert "emotion_projection" in params["params"]
+
+    def test_smoothing_carry(self, model_and_params, audio_batch):
+        mod, params = model_and_params
+        audio = audio_batch[:, :SR]
+        state = TemporalState.create(2)
+        out1, state1 = mod.apply(params, audio, state)
+        assert bool(state1.initialized.all())
+        out2, _ = mod.apply(params, audio, state1)
+        # second call smoothed toward prev -> close to but not equal first
+        a = np.asarray(out1["blendshapes"])
+        b = np.asarray(out2["blendshapes"])
+        np.testing.assert_allclose(a, b, atol=1e-5)  # same input -> same raw
+        # now different input produces a blend
+        other = audio * 0.3
+        out3, _ = mod.apply(params, other, state1)
+        raw3 = mod.apply(params, other)["blendshapes"]
+        assert not np.allclose(np.asarray(out3["blendshapes"]),
+                               np.asarray(raw3))
+
+    def test_reset_where(self):
+        state = TemporalState(prev=jnp.ones((2, 52)),
+                              initialized=jnp.ones((2,), bool))
+        reset = state.reset_where(jnp.asarray([True, False]))
+        assert not bool(reset.initialized[0])
+        assert bool(reset.initialized[1])
+        assert float(reset.prev[0].sum()) == 0.0
+        assert float(reset.prev[1].sum()) == 52.0
+
+    def test_precomputed_emotion_path(self, model_and_params, audio_batch):
+        mod, params = model_and_params
+        audio = audio_batch[:, :SR]
+        feats = jnp.zeros((2, 9))  # basic backend dim
+        out = mod.apply(params, audio, emotion_features_raw=feats)
+        assert out["blendshapes"].shape == (2, 52)
+
+
+class TestSequentialDualStream:
+    WINDOW = 32  # small window for test speed
+
+    def _make(self, **kw):
+        mod = SequentialDualStreamModel(
+            dropout=0.0, emotion_backend="basic",
+            mel_sequence_length=self.WINDOW, stride_frames=4, **kw)
+        audio = jnp.zeros((1, 2 * SR))
+        params = mod.init(jax.random.key(0), audio)
+        return mod, params
+
+    def test_sequence_shapes(self, audio_batch):
+        mod, params = self._make()
+        audio = audio_batch[:, : 2 * SR]
+        out = mod.apply(params, audio)
+        bs = np.asarray(out["blendshapes"])
+        num_frames = (2 * SR) // mod.hop_length
+        n_out = (num_frames - self.WINDOW) // 4 + 1
+        assert bs.shape == (2, n_out, 52)
+        assert bs.min() >= 0.0 and bs.max() <= 1.0
+        assert out["fps"] == 30
+
+    def test_parallel_equals_scan(self, audio_batch):
+        mod_p, params = self._make(decode_mode="parallel")
+        mod_s = SequentialDualStreamModel(
+            dropout=0.0, emotion_backend="basic",
+            mel_sequence_length=self.WINDOW, stride_frames=4,
+            decode_mode="scan")
+        audio = audio_batch[:1, : 2 * SR]
+        out_p = np.asarray(mod_p.apply(params, audio)["blendshapes"])
+        out_s = np.asarray(mod_s.apply(params, audio)["blendshapes"])
+        np.testing.assert_allclose(out_p, out_s, rtol=1e-4, atol=1e-5)
+
+    def test_smoothing_reduces_jitter(self, audio_batch):
+        """Smoothed sequence has lower frame-to-frame variation than raw."""
+        mod, params = self._make()
+        audio = audio_batch[:1, : 2 * SR]
+        out = np.asarray(mod.apply(params, audio)["blendshapes"])[0]
+        # alpha=sigmoid(0.8)~0.69: still smooths vs raw; just sanity-check
+        # that consecutive deltas are bounded and finite
+        deltas = np.abs(np.diff(out, axis=0))
+        assert np.isfinite(deltas).all()
+        assert deltas.mean() < 0.5
+
+    def test_gradients_flow_to_all_components(self, audio_batch):
+        mod, params = self._make()
+        audio = audio_batch[:1, : 2 * SR]
+        target = jnp.full((1, 52), 0.5)
+
+        def loss(p):
+            out = mod.apply(p, audio)["blendshapes"]
+            return jnp.mean((out - target[:, None, :]) ** 2)
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves_with_path(g)
+        got = {jax.tree_util.keystr(k): float(np.abs(np.asarray(v)).max())
+               for k, v in flat}
+        for key in ["emotion_projection", "mel_channel_encoder",
+                    "smoothing_alpha", "mouth_queries"]:
+            hits = [v for k, v in got.items() if key in k]
+            assert hits and max(hits) > 0, f"no grad through {key}"
+
+    def test_jit_forward(self, audio_batch):
+        mod, params = self._make()
+        audio = audio_batch[:1, : 2 * SR]
+        f = jax.jit(lambda p, a: mod.apply(p, a)["blendshapes"])
+        a = np.asarray(f(params, audio))
+        b = np.asarray(mod.apply(params, audio)["blendshapes"])
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+    def test_return_attention(self, audio_batch):
+        mod, params = self._make()
+        audio = audio_batch[:1, : 2 * SR]
+        out = mod.apply(params, audio, return_attention=True)
+        n_out = out["blendshapes"].shape[1]
+        assert out["mel_attention_weights"].shape[:2] == (1, n_out)

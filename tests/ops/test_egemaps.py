@@ -1,0 +1,141 @@
+"""Behavioral tests for the eGeMAPS-style functional extractor."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koemorph_tpu.ops.egemaps import (
+    FEATURE_NAMES,
+    NUM_FEATURES,
+    EgemapsConfig,
+    compute_llds,
+    egemaps_functionals,
+)
+
+SR = 16000
+IDX = {n: i for i, n in enumerate(FEATURE_NAMES)}
+
+
+def sine(freq, secs=2.0, amp=0.5, sr=SR):
+    t = np.arange(int(secs * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def vibrato(freq, secs=2.0, amp=0.5, depth=0.03, rate=5.0, sr=SR):
+    t = np.arange(int(secs * sr)) / sr
+    inst = freq * (1 + depth * np.sin(2 * np.pi * rate * t))
+    phase = 2 * np.pi * np.cumsum(inst) / sr
+    return (amp * np.sin(phase)).astype(np.float32)
+
+
+class TestLayout:
+    def test_88_named_features(self):
+        assert NUM_FEATURES == 88
+        assert len(set(FEATURE_NAMES)) == 88
+        assert FEATURE_NAMES[0].startswith("F0semitone")
+        assert "equivalentSoundLevel_dBp" in FEATURE_NAMES
+
+
+class TestFunctionals:
+    def test_output_shape_and_finite(self):
+        out = np.asarray(egemaps_functionals(jnp.asarray(sine(220.0))))
+        assert out.shape == (88,)
+        assert np.isfinite(out).all()
+
+    def test_batched(self):
+        x = jnp.stack([jnp.asarray(sine(150.0)), jnp.asarray(sine(250.0))])
+        out = egemaps_functionals(x)
+        assert out.shape == (2, 88)
+
+    def test_f0_mean_tracks_pitch(self):
+        lo = np.asarray(egemaps_functionals(jnp.asarray(sine(110.0))))
+        hi = np.asarray(egemaps_functionals(jnp.asarray(sine(330.0))))
+        i = IDX["F0semitoneFrom27.5Hz_sma3nz_amean"]
+        # semitones: 110 Hz = 24 st above 27.5, 330 Hz ~ 43 st
+        assert abs(lo[i] - 24.0) < 1.5
+        assert abs(hi[i] - 43.0) < 1.5
+
+    def test_loudness_monotone_in_amplitude(self):
+        quiet = np.asarray(egemaps_functionals(jnp.asarray(sine(220, amp=0.05))))
+        loud = np.asarray(egemaps_functionals(jnp.asarray(sine(220, amp=0.8))))
+        i = IDX["loudness_sma3_amean"]
+        assert loud[i] > quiet[i]
+        j = IDX["equivalentSoundLevel_dBp"]
+        assert loud[j] > quiet[j] + 10  # ~24 dB apart
+
+    def test_vibrato_raises_f0_variability(self):
+        steady = np.asarray(egemaps_functionals(jnp.asarray(sine(220.0))))
+        vib = np.asarray(egemaps_functionals(jnp.asarray(vibrato(220.0))))
+        i = IDX["F0semitoneFrom27.5Hz_sma3nz_pctlrange0-2"]
+        assert vib[i] > steady[i] * 2
+
+    def test_noise_vs_tone_hnr(self):
+        rng = np.random.default_rng(0)
+        tone = np.asarray(egemaps_functionals(jnp.asarray(sine(220.0))))
+        noisy = np.asarray(egemaps_functionals(jnp.asarray(
+            sine(220.0) + 0.2 * rng.standard_normal(2 * SR).astype(np.float32))))
+        i = IDX["HNRdBACF_sma3nz_amean"]
+        assert tone[i] > noisy[i]
+
+    def test_shimmer_sensitivity(self):
+        rng = np.random.default_rng(1)
+        t = np.arange(2 * SR) / SR
+        am = (0.5 * (1 + 0.5 * rng.standard_normal(2 * SR) * 0)  # steady
+              * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        # amplitude-modulated with random per-10ms gain
+        gains = np.repeat(rng.uniform(0.2, 1.0, 200), 160)
+        mod = (0.5 * gains * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        steady = np.asarray(egemaps_functionals(jnp.asarray(am)))
+        shaky = np.asarray(egemaps_functionals(jnp.asarray(mod)))
+        i = IDX["shimmerLocaldB_sma3nz_amean"]
+        assert shaky[i] > steady[i]
+
+    def test_voiced_segments_counting(self):
+        # 0.5 s tone + 0.5 s silence + 0.5 s tone -> 2 voiced segments / 1.5 s
+        x = np.concatenate([sine(220, 0.5), np.zeros(SR // 2, np.float32),
+                            sine(220, 0.5)])
+        out = np.asarray(egemaps_functionals(jnp.asarray(x)))
+        i = IDX["VoicedSegmentsPerSec"]
+        assert 0.8 < out[i] < 2.2
+        j = IDX["MeanVoicedSegmentLengthSec"]
+        assert 0.3 < out[j] < 0.7
+
+    def test_silence_gives_zero_voiced_stats(self):
+        out = np.asarray(egemaps_functionals(jnp.zeros(SR)))
+        assert np.isfinite(out).all()
+        assert out[IDX["F0semitoneFrom27.5Hz_sma3nz_amean"]] == 0.0
+
+    def test_jit_compiles(self):
+        f = jax.jit(egemaps_functionals)
+        out = f(jnp.asarray(sine(220.0, 1.0)))
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLLDs:
+    def test_lld_shapes_consistent(self):
+        lld = compute_llds(jnp.asarray(sine(220.0, 1.0)))
+        t = lld["f0_semitone"].shape[-1]
+        for key in ("jitter", "loudness", "shimmer_db", "hnr_db",
+                    "alpha_ratio", "spectral_flux"):
+            assert lld[key].shape[-1] == t, key
+        assert lld["mfcc"].shape[-1] == 4
+        assert lld["formant_freq"].shape[-1] == 3
+
+    def test_formants_in_plausible_range(self):
+        # vowel-ish: sum of harmonics with resonances around 700/1200/2600
+        rng = np.random.default_rng(0)
+        t = np.arange(2 * SR) / SR
+        x = np.zeros_like(t, dtype=np.float32)
+        for h in range(1, 30):
+            f = 120.0 * h
+            gain = sum(np.exp(-((f - c) / w) ** 2)
+                       for c, w in [(700, 300), (1200, 350), (2600, 400)])
+            x += (gain * np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+                  ).astype(np.float32)
+        x *= 0.2 / np.abs(x).max()
+        lld = compute_llds(jnp.asarray(x))
+        f1 = np.asarray(lld["formant_freq"])[..., 0]
+        f1_voiced = f1[f1 > 0]
+        assert len(f1_voiced) > 0
+        assert 300 < np.median(f1_voiced) < 1100

@@ -1,0 +1,70 @@
+"""Mesh/sharding tests on the virtual 8-device CPU platform."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koemorph_tpu.parallel import (
+    batch_sharding,
+    local_batch_size,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicate,
+    shard_batch,
+)
+
+
+class TestMesh:
+    def test_full_mesh(self, cpu_devices):
+        mesh = make_mesh()
+        assert mesh.devices.size == len(cpu_devices)
+        assert mesh.axis_names == ("data",)
+
+    def test_subset_mesh(self):
+        mesh = make_mesh(num_devices=4)
+        assert mesh.devices.size == 4
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(num_devices=1024)
+
+
+class TestSharding:
+    def test_shard_batch_places_across_devices(self):
+        mesh = make_mesh()
+        batch = {"audio": np.zeros((16, 100), np.float32),
+                 "step": np.asarray(3)}
+        sharded = shard_batch(batch, mesh)
+        assert sharded["audio"].sharding == batch_sharding(mesh)
+        assert len(sharded["audio"].sharding.device_set) == 8
+        # scalar replicated
+        assert sharded["step"].sharding.is_fully_replicated
+
+    def test_replicate_params(self):
+        mesh = make_mesh()
+        params = {"w": jnp.ones((4, 4))}
+        rep = replicate(params, mesh)
+        assert rep["w"].sharding.is_fully_replicated
+
+    def test_psum_over_sharded_batch(self):
+        """A jitted mean over a sharded batch matches the host value (XLA
+        inserts the collective)."""
+        mesh = make_mesh()
+        x = np.arange(32, dtype=np.float32).reshape(16, 2)
+        sharded = shard_batch({"x": x}, mesh)["x"]
+        got = jax.jit(lambda a: jnp.mean(a))(sharded)
+        np.testing.assert_allclose(np.asarray(got), x.mean(), rtol=1e-6)
+
+    def test_pad_batch_to_multiple(self):
+        batch = {"a": np.ones((5, 3)), "s": np.asarray(1)}
+        padded, real = pad_batch_to_multiple(batch, 8)
+        assert padded["a"].shape == (8, 3)
+        assert real == 5
+        np.testing.assert_array_equal(padded["a"][4], padded["a"][7])
+
+    def test_local_batch_size(self):
+        mesh = make_mesh(num_devices=4)
+        assert local_batch_size(16, mesh) == 4
+        with pytest.raises(ValueError):
+            local_batch_size(10, mesh)
