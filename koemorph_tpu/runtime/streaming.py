@@ -1,0 +1,265 @@
+"""Real-time streaming inference: incremental mel, on-device ring buffers.
+
+Parity targets: reference scripts/rt.py:241 (RealTimeInference),
+scripts/rt_simplified.py:315 (SimplifiedRealTimeInference),
+src/features/mel_sliding_window.py (MelAudioBuffer / MelSlidingWindowExtractor)
+and src/features/opensmile_extractor.py:29 (AudioBuffer).
+
+TPU-first redesign (SURVEY.md section 5.7): the reference keeps lock-guarded
+circular numpy buffers on the host and *recomputes the full 8.5 s mel window
+with librosa every frame* (mel_sliding_window.py:280-295). Here every piece
+of streaming state is an explicit JAX carry (:class:`StreamState`) living in
+HBM, and the per-frame step is ONE jitted function that:
+
+1. shifts ``hop`` new samples into a 20 s audio ring (emotion context),
+2. computes only the ONE new STFT/mel frame the hop makes available — a
+   (1, n_fft) x (n_fft, bins) matmul — and rolls it into the (W+1, 80) dB
+   ring (the reference's full-window recompute is O(W) redundant work),
+3. re-normalizes the window (per-window ``power_to_db ref=max`` semantics:
+   normalization is a subtract of the window max, so keeping *raw* dB rows
+   makes the incremental update exact),
+4. refreshes the eGeMAPS emotion vector every ``emotion_update_frames``
+   frames under ``lax.cond`` (300 ms cadence,
+   reference opensmile_extractor.py update_interval),
+5. runs the dual-stream attention decode and the learnable-alpha EMA smooth.
+
+Streaming frame semantics: mel row ``t`` is the STFT frame centered at
+``t*hop`` computed from real samples only (no reflect padding), so the
+stream runs one frame (~33 ms) behind the newest audio — the interior-frame
+definition the batch path uses (see models/dual_stream_model.py docstring).
+
+There are no locks anywhere on the device path by construction; the only
+shared-memory boundary left is the host audio queue (see runtime/audio.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koemorph_tpu.features.emotion import EmotionFrontendConfig, emotion_features
+from koemorph_tpu.models.dual_stream import DualStreamCrossAttention
+from koemorph_tpu.models.dual_stream_model import TemporalState, _ema_step
+from koemorph_tpu.ops.mel import mel_filterbank
+from koemorph_tpu.ops.stft import dft_matrices
+from koemorph_tpu.ops.window import hann_window
+
+__all__ = ["StreamingConfig", "StreamState", "StreamingInference",
+           "init_stream_state", "stream_frame"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    """Static streaming parameters (must match the trained model)."""
+
+    sample_rate: int = 16000
+    target_fps: int = 30
+    window_frames: int = 256          # mel context (256 = 8.53 s at 30 fps)
+    n_fft: int = 1024
+    n_mels: int = 80
+    f_min: float = 80.0
+    f_max: float = 8000.0
+    d_model: int = 256
+    num_heads: int = 8
+    num_blendshapes: int = 52
+    emotion_backend: str = "egemaps"
+    use_concatenation: bool = True
+    emotion_context_s: float = 20.0   # emotion audio ring length
+    emotion_update_frames: int = 9    # ~300 ms at 30 fps
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.sample_rate / self.target_fps)
+
+    @property
+    def emotion_ring_len(self) -> int:
+        # 20 s + 0.6 s of shifted-window margin, rounded up to whole hops
+        margin = int(0.6 * self.sample_rate)
+        n = int(self.emotion_context_s * self.sample_rate) + margin
+        return ((n + self.hop_length - 1) // self.hop_length) \
+            * self.hop_length
+
+    @property
+    def emotion_config(self) -> EmotionFrontendConfig:
+        return EmotionFrontendConfig(
+            backend=self.emotion_backend,
+            use_concatenation=self.use_concatenation,
+            sample_rate=self.sample_rate)
+
+    @property
+    def attention(self) -> DualStreamCrossAttention:
+        return DualStreamCrossAttention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            num_mel_channels=self.n_mels,
+            mel_sequence_length=self.window_frames,
+            mel_temporal_frames=3, emotion_dim=self.d_model,
+            dropout=0.0, num_blendshapes=self.num_blendshapes)
+
+
+@flax.struct.dataclass
+class StreamState:
+    """All streaming state, as one device-resident carry pytree."""
+
+    audio_ring: jnp.ndarray     # (ring_len,) newest sample last
+    mel_db: jnp.ndarray         # (W+1, n_mels) raw dB rows, newest last
+    emotion_raw: jnp.ndarray    # (D_raw,) cached raw emotion features
+    frame_count: jnp.ndarray    # () int32
+    temporal: TemporalState     # EMA carry (B=1)
+
+
+def init_stream_state(cfg: StreamingConfig) -> StreamState:
+    raw_dim = cfg.emotion_config.feature_dim
+    return StreamState(
+        audio_ring=jnp.zeros((cfg.emotion_ring_len,), jnp.float32),
+        mel_db=jnp.full((cfg.window_frames + 1, cfg.n_mels), -100.0,
+                        jnp.float32),
+        emotion_raw=jnp.zeros((raw_dim,), jnp.float32),
+        frame_count=jnp.zeros((), jnp.int32),
+        temporal=TemporalState.create(1),
+    )
+
+
+def _new_mel_row(cfg: StreamingConfig, ring: jnp.ndarray) -> jnp.ndarray:
+    """dB mel row for the newest computable centered frame.
+
+    With exactly ``hop`` samples pushed per step (total T = k*hop), the
+    newest computable center is ``t = (T - n_fft/2) // hop``, whose window
+    ends ``(-(n_fft//2)) mod hop`` samples before the ring end — a static
+    offset, so the slice compiles to a fixed gather.
+    """
+    offset = (-(cfg.n_fft // 2)) % cfg.hop_length
+    seg = jax.lax.dynamic_slice_in_dim(
+        ring, ring.shape[0] - cfg.n_fft - offset, cfg.n_fft)
+    frame = seg * hann_window(cfg.n_fft)
+    cos_m, sin_m = dft_matrices(cfg.n_fft)
+    re = frame @ cos_m
+    im = frame @ sin_m
+    power = re * re + im * im                       # (bins,)
+    fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, n_mels=cfg.n_mels,
+                        f_min=cfg.f_min, f_max=cfg.f_max)
+    mel_power = power @ fb
+    return 10.0 * jnp.log10(jnp.maximum(mel_power, 1e-10))
+
+
+def stream_frame(
+    params: dict,
+    state: StreamState,
+    hop_audio: jnp.ndarray,      # (hop,) newest samples
+    cfg: StreamingConfig,
+) -> tuple[dict, StreamState]:
+    """One 33 ms frame: returns ({'blendshapes': (52,), ...}, new state)."""
+    hop = cfg.hop_length
+
+    # 1. shift-register audio ring (one contiguous HBM copy)
+    ring = jnp.concatenate([state.audio_ring[hop:], hop_audio])
+
+    # 2. one new mel row
+    row = _new_mel_row(cfg, ring)
+    mel_db = jnp.concatenate([state.mel_db[1:], row[None, :]], axis=0)
+
+    # 3. per-window ref=max normalization (exact, not incremental-approx)
+    wmax = jnp.max(mel_db)
+    norm = (jnp.maximum(mel_db - wmax, -80.0) + 80.0) / 80.0
+    mel = norm[None, : cfg.window_frames, :]         # (1, W, n_mels)
+    detail = norm[None, -3:, :]                      # (1, 3, n_mels)
+
+    # 4. emotion refresh every K frames (lax.cond: heavy branch only runs
+    #    on refresh frames)
+    def refresh(_):
+        ctx = ring[-int(cfg.emotion_context_s * cfg.sample_rate)
+                   - int(0.6 * cfg.sample_rate):]
+        return emotion_features(ctx, cfg.emotion_config)
+
+    do_refresh = (state.frame_count % cfg.emotion_update_frames) == 0
+    emotion_raw = jax.lax.cond(do_refresh, refresh,
+                               lambda _: state.emotion_raw, None)
+
+    # 5. decode: emotion projection (trained Dense) + dual-stream attention
+    proj = params["emotion_projection"]
+    emotion = emotion_raw @ proj["kernel"] + proj["bias"]   # (d_model,)
+    out = cfg.attention.apply(
+        {"params": params["dual_stream_attention"]},
+        mel, detail, emotion[None, :], deterministic=True)
+
+    # 6. EMA smoothing with the trained alpha
+    alpha = jax.nn.sigmoid(params["smoothing_alpha"])
+    smoothed, temporal = _ema_step(out["blendshapes"], state.temporal, alpha)
+
+    new_state = StreamState(
+        audio_ring=ring, mel_db=mel_db, emotion_raw=emotion_raw,
+        frame_count=state.frame_count + 1, temporal=temporal)
+    result = {"blendshapes": smoothed[0]}
+    return result, new_state
+
+
+class StreamingInference:
+    """Host-facing real-time engine (reference scripts/rt_simplified.py:315).
+
+    Wraps the jitted :func:`stream_frame` with hop-sized re-chunking, device
+    placement, and the reference's performance accounting (frame-time deque,
+    avg/max report — reference scripts/rt.py:467-536).
+    """
+
+    def __init__(self, params: dict, cfg: StreamingConfig = StreamingConfig(),
+                 device: Optional[jax.Device] = None):
+        self.cfg = cfg
+        self.device = device or jax.devices()[0]
+        self.params = jax.device_put(params, self.device)
+        self.state = jax.device_put(init_stream_state(cfg), self.device)
+        self._step = jax.jit(
+            lambda p, s, a: stream_frame(p, s, a, cfg))
+        self._pending = np.zeros((0,), np.float32)
+        self.frame_times: deque[float] = deque(maxlen=300)
+        self.frames_emitted = 0
+
+    def reset(self) -> None:
+        self.state = jax.device_put(init_stream_state(self.cfg), self.device)
+        self._pending = np.zeros((0,), np.float32)
+        self.frames_emitted = 0
+
+    def warmup(self) -> None:
+        """Compile the step ahead of the real-time loop."""
+        hop = self.cfg.hop_length
+        out, st = self._step(self.params, self.state,
+                             jnp.zeros((hop,), jnp.float32))
+        jax.block_until_ready(out["blendshapes"])
+
+    def process_audio(self, samples: np.ndarray) -> list[np.ndarray]:
+        """Feed arbitrary-length audio; returns one (52,) frame per full hop
+        now available."""
+        hop = self.cfg.hop_length
+        buf = np.concatenate([self._pending,
+                              np.asarray(samples, np.float32).reshape(-1)])
+        frames: list[np.ndarray] = []
+        n_full = len(buf) // hop
+        for i in range(n_full):
+            t0 = time.perf_counter()
+            chunk = jnp.asarray(buf[i * hop:(i + 1) * hop])
+            out, self.state = self._step(self.params, self.state, chunk)
+            bs = np.asarray(out["blendshapes"])
+            self.frame_times.append(time.perf_counter() - t0)
+            self.frames_emitted += 1
+            frames.append(bs)
+        self._pending = buf[n_full * hop:]
+        return frames
+
+    def performance_stats(self) -> dict:
+        """avg/max frame time + realtime factor (reference rt.py:520-536)."""
+        if not self.frame_times:
+            return {"frames": 0}
+        times = np.asarray(self.frame_times)
+        budget = 1.0 / self.cfg.target_fps
+        return {
+            "frames": self.frames_emitted,
+            "avg_frame_time_ms": float(times.mean() * 1e3),
+            "max_frame_time_ms": float(times.max() * 1e3),
+            "rtf": float(times.mean() / budget),
+            "target_fps": self.cfg.target_fps,
+        }

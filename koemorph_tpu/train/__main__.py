@@ -1,0 +1,191 @@
+"""Training CLI: ``python -m koemorph_tpu.train --config <root.yaml> [k=v...]``.
+
+Parity targets: the three Hydra entry points of the reference —
+src/train.py:405 (legacy), src/train_dual_stream.py:519,
+src/train_sequential.py:413 — unified behind one dispatcher keyed on
+``model.name`` with the same config tree and dot-notation overrides
+(reference README.md:210-228).
+
+``--synthetic N`` writes N synthetic WAV+JSONL pairs and trains on them —
+the whole pipeline (I/O, windowing, trainer, checkpoints) exercised with no
+dataset on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("koemorph_tpu.train")
+
+
+def write_synthetic_dataset(out_dir: Path, n_files: int, *,
+                            sample_rate: int = 16000, fps: float = 30.0,
+                            duration_s: float = 12.0, seed: int = 0) -> Path:
+    """Speech-like sine+noise WAVs with random [0,1] blendshape JSONL."""
+    from koemorph_tpu.data.wav import write_wav
+
+    rng = np.random.default_rng(seed)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = int(duration_s * sample_rate)
+    t = np.arange(n) / sample_rate
+    for i in range(n_files):
+        f0 = 120 + 60 * rng.random()
+        x = (0.4 * np.sin(2 * np.pi * f0 * t)
+             * (1 + 0.3 * np.sin(2 * np.pi * (2 + rng.random()) * t))
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        write_wav(out_dir / f"synth_{i:03d}.wav", x, sample_rate)
+        frames = int(duration_s * fps)
+        base = rng.uniform(0, 0.6, 52)
+        with open(out_dir / f"synth_{i:03d}.jsonl", "w") as f:
+            for k in range(frames):
+                coeffs = np.clip(
+                    base + 0.2 * np.sin(2 * np.pi * 2 * k / fps
+                                        + np.arange(52)), 0, 1)
+                f.write(json.dumps({
+                    "timestamp": k / fps,
+                    "blendshapes": coeffs.round(4).tolist()}) + "\n")
+    return out_dir
+
+
+def build_model(cfg):
+    name = cfg.model.get("name", "simplified")
+    common = dict(
+        d_model=int(cfg.model.d_model),
+        num_heads=int(cfg.model.num_heads),
+        num_blendshapes=int(cfg.model.get("num_blendshapes", 52)),
+        sample_rate=int(cfg.model.get("sample_rate", 16000)),
+        target_fps=int(cfg.model.get("target_fps", 30)),
+    )
+    if name == "simplified":
+        from koemorph_tpu.models.simplified import SimplifiedKoeMorphModel
+        return SimplifiedKoeMorphModel(**common), "frame"
+    if name in ("simplified_dual_stream", "sequential_dual_stream"):
+        emotion = cfg.model.get("emotion_config", {})
+        ds = dict(
+            common,
+            mel_sequence_length=int(cfg.model.get("mel_sequence_length",
+                                                  256)),
+            emotion_backend=emotion.get("backend", "egemaps"),
+            use_concatenation=bool(emotion.get("use_concatenation", True)),
+            dropout=float(cfg.model.get("dual_stream_attention", {})
+                          .get("dropout", 0.1)),
+        )
+        if name == "simplified_dual_stream":
+            from koemorph_tpu.models.dual_stream_model import (
+                SimplifiedDualStreamModel)
+            return SimplifiedDualStreamModel(**ds), "window"
+        from koemorph_tpu.models.dual_stream_model import (
+            SequentialDualStreamModel)
+        return SequentialDualStreamModel(
+            **ds,
+            stride_frames=int(cfg.model.get("stride_frames", 1)),
+            decode_mode=cfg.model.get("decode_mode", "parallel"),
+        ), "sequence"
+    raise ValueError(f"Unknown model.name: {name}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--config", default="configs/dual_stream_config.yaml")
+    p.add_argument("--work-dir", default=None,
+                   help="override run_dir/experiment-name output location")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="train on N generated synthetic WAV+JSONL pairs")
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    p.add_argument("overrides", nargs="*", metavar="key=value",
+                   help="dot-notation config overrides")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from koemorph_tpu.utils.config import load_config, to_dict
+    from koemorph_tpu.train.trainer import (
+        DualStreamTrainer, KoeMorphTrainer, SequentialTrainer)
+
+    cfg = load_config(args.config, overrides=args.overrides)
+    work_dir = Path(args.work_dir or
+                    Path(cfg.get("run_dir", "outputs"))
+                    / cfg.get("experiment", {}).get("name", "run"))
+    work_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.synthetic:
+        synth = write_synthetic_dataset(
+            work_dir / "synth_data", args.synthetic,
+            sample_rate=int(cfg.data.sample_rate),
+            fps=float(cfg.data.target_fps))
+        cfg.data.train_data_dir = str(synth)
+        cfg.data.val_data_dir = str(synth)
+
+    model, kind = build_model(cfg)
+    tcfg = to_dict(cfg)
+    max_epochs = args.max_epochs or int(cfg.training.get("max_epochs", 1))
+
+    if kind == "frame":
+        from koemorph_tpu.data.dataset import KoeMorphDataModule
+        dm = KoeMorphDataModule(
+            train_data_dir=cfg.data.train_data_dir,
+            val_data_dir=cfg.data.get("val_data_dir"),
+            batch_size=int(cfg.data.batch_size),
+            sample_rate=int(cfg.data.sample_rate),
+            target_fps=float(cfg.data.target_fps))
+        dm.setup()
+        steps = args.steps_per_epoch or max(1, len(dm.train_dataloader()))
+        trainer = KoeMorphTrainer(
+            model, tcfg, work_dir=work_dir, steps_per_epoch=steps,
+            audio_samples=int(float(cfg.data.get("audio_max_length", 10.0))
+                              * cfg.data.sample_rate))
+        history = trainer.fit(
+            lambda: iter(dm.train_dataloader()),
+            (lambda: iter(dm.val_dataloader()))
+            if dm.val_dataset else None,
+            max_epochs=max_epochs)
+    else:
+        from koemorph_tpu.data.sequential import (
+            create_sequential_dataloader)
+        # window samples per training example: the model window for the
+        # single-frame trainer, model window + extra output span for the
+        # sequence trainer
+        window = (model.window_frames + 32 if kind == "sequence"
+                  else model.mel_sequence_length)
+        loader_fn, dataset = create_sequential_dataloader(
+            cfg.data.train_data_dir,
+            batch_size=int(cfg.data.batch_size),
+            window_frames=window,
+            stride_frames=int(cfg.data.get("stride_frames", 8)),
+            sample_rate=int(cfg.data.sample_rate),
+            target_fps=float(cfg.data.target_fps))
+        steps = args.steps_per_epoch or max(1, dataset.get_num_windows()
+                                            // int(cfg.data.batch_size))
+        cls = (SequentialTrainer if kind == "sequence"
+               else DualStreamTrainer)
+        kwargs = {"span_frames": window} if kind == "sequence" else {}
+        trainer = cls(model, tcfg, work_dir=work_dir,
+                      steps_per_epoch=steps, **kwargs)
+        history = trainer.fit(loader_fn, None, max_epochs=max_epochs)
+
+    final = history["train"][-1] if history["train"] else {}
+    logger.info("training done: %s",
+                {k: round(float(v), 5) for k, v in final.items()})
+    print(json.dumps({"work_dir": str(work_dir),
+                      "final_train_metrics":
+                          {k: float(v) for k, v in final.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,208 @@
+"""Streaming runtime tests.
+
+The load-bearing one: the incremental one-row-per-hop mel update must equal
+the batch global STFT's interior frames on the same audio — the streaming
+path is a restructuring, not an approximation.
+"""
+
+import json
+import socket
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from koemorph_tpu.models.dual_stream_model import SimplifiedDualStreamModel, TemporalState
+from koemorph_tpu.ops.stft import stft_power
+from koemorph_tpu.ops.mel import mel_filterbank
+from koemorph_tpu.runtime import (
+    AudioFileReader,
+    BlendshapeStreamer,
+    StreamingConfig,
+    StreamingInference,
+    encode_osc_message,
+    init_stream_state,
+    stream_frame,
+)
+from koemorph_tpu.data.wav import write_wav
+
+TINY = StreamingConfig(
+    window_frames=16, d_model=32, num_heads=2,
+    emotion_backend="basic", use_concatenation=False,
+    emotion_context_s=2.0, emotion_update_frames=3)
+
+
+def tiny_params(cfg=TINY):
+    """Params from the trained-model init: validates that the runtime's
+    param contract matches SimplifiedDualStreamModel exactly."""
+    model = SimplifiedDualStreamModel(
+        d_model=cfg.d_model, num_heads=cfg.num_heads,
+        mel_sequence_length=cfg.window_frames,
+        emotion_backend=cfg.emotion_backend,
+        use_concatenation=cfg.use_concatenation,
+        target_fps=cfg.target_fps, dropout=0.0)
+    audio = jnp.zeros((1, cfg.window_frames * cfg.hop_length))
+    state = TemporalState.create(1)
+    return jax.jit(model.init)(
+        jax.random.PRNGKey(0), audio, state)["params"]
+
+
+class TestIncrementalMel:
+    def test_matches_batch_interior_frames(self, dummy_audio):
+        cfg = TINY
+        hop = cfg.hop_length
+        params = tiny_params()
+        state = init_stream_state(cfg)
+        step = jax.jit(lambda p, s, a: stream_frame(p, s, a, cfg))
+
+        n_hops = 40
+        for i in range(n_hops):
+            _, state = step(params, state,
+                            jnp.asarray(dummy_audio[i * hop:(i + 1) * hop]))
+
+        # batch reference: centered STFT over the audio consumed so far
+        consumed = dummy_audio[: n_hops * hop]
+        spec = stft_power(jnp.asarray(consumed), n_fft=cfg.n_fft,
+                          hop_length=hop, center=True, power=2.0)
+        fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, n_mels=cfg.n_mels,
+                            f_min=cfg.f_min, f_max=cfg.f_max)
+        batch_db = 10.0 * jnp.log10(jnp.maximum(spec @ fb, 1e-10))
+
+        # streaming row for center t*hop lands at buffer slot: newest row is
+        # the last fully-available centered frame
+        newest_t = (n_hops * hop - cfg.n_fft // 2) // hop
+        stream_rows = np.asarray(state.mel_db)
+        got = stream_rows[-1]
+        want = np.asarray(batch_db)[newest_t]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # and a handful of older rows
+        for back in (3, 7):
+            np.testing.assert_allclose(
+                stream_rows[-1 - back],
+                np.asarray(batch_db)[newest_t - back],
+                rtol=1e-4, atol=1e-4)
+
+
+class TestStreamFrame:
+    def test_output_shape_and_range(self, dummy_audio):
+        cfg = TINY
+        params = tiny_params()
+        state = init_stream_state(cfg)
+        step = jax.jit(lambda p, s, a: stream_frame(p, s, a, cfg))
+        hop = cfg.hop_length
+        outs = []
+        for i in range(6):
+            out, state = step(
+                params, state,
+                jnp.asarray(dummy_audio[i * hop:(i + 1) * hop]))
+            outs.append(np.asarray(out["blendshapes"]))
+        arr = np.stack(outs)
+        assert arr.shape == (6, 52)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+    def test_emotion_refresh_cadence(self, dummy_audio):
+        cfg = TINY
+        params = tiny_params()
+        state = init_stream_state(cfg)
+        step = jax.jit(lambda p, s, a: stream_frame(p, s, a, cfg))
+        hop = cfg.hop_length
+        history = []
+        for i in range(7):
+            _, state = step(
+                params, state,
+                jnp.asarray(dummy_audio[i * hop:(i + 1) * hop]))
+            history.append(np.asarray(state.emotion_raw).copy())
+        # refresh at frames 0 and 3 and 6; cached between
+        assert np.allclose(history[1], history[2])
+        assert not np.allclose(history[2], history[3])
+        assert np.allclose(history[4], history[5])
+
+    def test_smoothing_carries_state(self, dummy_audio):
+        cfg = TINY
+        params = tiny_params()
+        state = init_stream_state(cfg)
+        step = jax.jit(lambda p, s, a: stream_frame(p, s, a, cfg))
+        hop = cfg.hop_length
+        out1, state = step(params, state, jnp.asarray(dummy_audio[:hop]))
+        assert bool(state.temporal.initialized[0])
+        np.testing.assert_allclose(np.asarray(state.temporal.prev[0]),
+                                   np.asarray(out1["blendshapes"]),
+                                   rtol=1e-6)
+
+
+class TestStreamingInference:
+    def test_process_audio_rechunks(self, dummy_audio):
+        eng = StreamingInference(tiny_params(), TINY)
+        hop = TINY.hop_length
+        frames = eng.process_audio(dummy_audio[: hop * 2 + 100])
+        assert len(frames) == 2
+        frames += eng.process_audio(dummy_audio[hop * 2 + 100: hop * 3])
+        assert len(frames) == 3
+        stats = eng.performance_stats()
+        assert stats["frames"] == 3
+        assert stats["rtf"] > 0
+
+    def test_reset(self, dummy_audio):
+        eng = StreamingInference(tiny_params(), TINY)
+        eng.process_audio(dummy_audio[: TINY.hop_length * 2])
+        eng.reset()
+        assert eng.frames_emitted == 0
+        assert int(eng.state.frame_count) == 0
+
+
+class TestStreamers:
+    def test_udp_packet_format(self):
+        recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        recv.bind(("127.0.0.1", 0))
+        recv.settimeout(2.0)
+        port = recv.getsockname()[1]
+        with BlendshapeStreamer("udp", port=port) as s:
+            s.send(np.full(52, 0.25, np.float32), timestamp=123.5)
+        data, _ = recv.recvfrom(65536)
+        msg = json.loads(data.decode())
+        assert msg["timestamp"] == 123.5
+        assert len(msg["blendshapes"]) == 52
+        assert msg["blendshapes"][0] == 0.25
+        recv.close()
+
+    def test_osc_encoding(self):
+        msg = encode_osc_message("/blendshapes", [1.0, 0.5])
+        # address padded to 16, typetags ",ff" padded to 4, 2 floats
+        assert msg[:12] == b"/blendshapes"
+        assert b",ff" in msg
+        assert len(msg) % 4 == 0
+        import struct
+        assert struct.unpack(">f", msg[-8:-4])[0] == 1.0
+        assert struct.unpack(">f", msg[-4:])[0] == 0.5
+
+    def test_file_mode_jsonl(self, tmp_path):
+        out = tmp_path / "frames.jsonl"
+        with BlendshapeStreamer("file", output_file=str(out)) as s:
+            s.send(np.zeros(52), 1.0)
+            s.send(np.ones(52), 2.0)
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) == 2
+        assert json.loads(lines[1])["timestamp"] == 2.0
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError):
+            BlendshapeStreamer("carrier_pigeon")
+
+
+class TestAudioFileReader:
+    def test_replays_wav(self, tmp_path, dummy_audio):
+        wav = tmp_path / "in.wav"
+        write_wav(wav, dummy_audio[:8000], 16000)
+        reader = AudioFileReader(wav, chunk_size=533, realtime=False)
+        reader.start()
+        chunks = []
+        while True:
+            c = reader.read()
+            if c is None:
+                break
+            chunks.append(c)
+        assert len(chunks) == 8000 // 533
+        np.testing.assert_allclose(
+            np.concatenate(chunks),
+            dummy_audio[: len(chunks) * 533], atol=1e-3)
