@@ -296,12 +296,18 @@ class EmotionExtractor:
 
     def extract_features(self, audio, return_embeddings: bool = True,
                          return_predictions: bool = True) -> dict:
+        from koemorph_tpu.utils.emotion_monitor import get_monitor
+
         start = time.time()
         self.extraction_stats["total_calls"] += 1
         audio_np = np.asarray(audio, dtype=np.float32)
         if audio_np.ndim == 1:
             audio_np = audio_np[None]
         b = audio_np.shape[0]
+        monitor = get_monitor()
+        token = monitor.log_processing_start(
+            self._get_backend_name(), audio_shape=audio_np.shape,
+            batch_size=b)
 
         embeddings, predictions, blendshapes = [], [], []
         for i in range(b):
@@ -342,6 +348,10 @@ class EmotionExtractor:
         self.extraction_stats["avg_processing_time"] = (
             (self.extraction_stats["avg_processing_time"] * (n - 1)
              + out["metadata"]["processing_time"]) / n)
+        monitor.log_processing_end(
+            token, success=any(np.any(e) for e in embeddings),
+            emotion_predictions=predictions[0] if predictions else None,
+            blendshape_weights=out["blendshape_weights"][0])
         return out
 
     def _extract_one(self, sample: np.ndarray) -> Optional[dict]:
@@ -379,7 +389,11 @@ class EmotionExtractor:
             logger.warning("Emotion extraction failed at level %d: %s",
                            self.fallback_level, e)
             if self.fallback_level < 2:
+                from koemorph_tpu.utils.emotion_monitor import get_monitor
+                prev = self._get_backend_name()
                 self.fallback_level += 1
+                get_monitor().log_fallback_usage(
+                    prev, self._get_backend_name(), str(e))
                 return self._extract_one(sample)
             return None
 
