@@ -46,7 +46,7 @@ class LogMelFrontend:
     f_min: float = 80.0
     f_max: float | None = 8000.0
     style: Literal["librosa", "torchaudio"] = "librosa"
-    stft_method: str = "matmul"
+    stft_method: str = "matmul"   # matmul | rfft | pallas (fused kernel)
     eps: float = 1e-8
 
     @property
@@ -78,6 +78,20 @@ def log_mel_spectrogram(audio: jnp.ndarray, cfg: LogMelFrontend) -> jnp.ndarray:
     torchaudio style: natural-log mel, padded/truncated to
     ``int(L / sr * fps)`` frames.
     """
+    if cfg.stft_method == "pallas" and cfg.style == "librosa":
+        # fused Pallas kernel: STFT + mel + dB in one VMEM-resident pass
+        from koemorph_tpu.ops.pallas import fused_log_mel_frontend
+
+        mel_db = fused_log_mel_frontend(
+            audio, sample_rate=cfg.sample_rate, n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length, n_mels=cfg.n_mels, f_min=cfg.f_min,
+            f_max=cfg.effective_f_max)
+        # per-sample ref=max + top_db clip in dB space (equivalent to
+        # power_to_db(ref=max, top_db=80) since log is monotonic)
+        ref_db = jnp.max(mel_db, axis=(-2, -1), keepdims=True)
+        mel_db = jnp.maximum(mel_db - ref_db, -80.0)
+        return normalize_log_mel(mel_db)
+
     spec = stft_power(
         audio,
         n_fft=cfg.n_fft,
