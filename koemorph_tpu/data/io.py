@@ -69,6 +69,20 @@ class ARKitDataLoader:
                 "arkit": blendshapes.astype(np.float32)}
 
     def _load_blendshapes(self, jsonl_path: Path) -> np.ndarray:
+        # native fast path: returns None on ANY irregular line, in which
+        # case the strict Python loop below owns the error semantics
+        from koemorph_tpu.data.native import parse_blendshape_jsonl_native
+
+        parsed = parse_blendshape_jsonl_native(
+            Path(jsonl_path).read_bytes(), n_coeffs=52)
+        if parsed is not None:
+            arr, ts = parsed
+            if not np.all((arr >= 0) & (arr <= 1)):
+                warnings.warn("Blendshape values outside [0,1] range")
+            if len(ts) > 1 and not np.all(np.diff(ts) > 0):
+                warnings.warn("Non-monotonic timestamps detected")
+            return arr
+
         blendshapes: list[np.ndarray] = []
         timestamps: list[float] = []
         with open(jsonl_path) as f:

@@ -32,6 +32,15 @@ def read_wav(path: Union[str, Path], *, mono: bool = False,
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError(f"Not a RIFF/WAVE file: {path}")
 
+    # native fast path (bit-exact vs the loop below; falls through on any
+    # unsupported format or when the library isn't built)
+    if dtype is np.float32:
+        from koemorph_tpu.data.native import decode_wav_native
+
+        decoded = decode_wav_native(raw, mono=mono)
+        if decoded is not None:
+            return decoded
+
     pos = 12
     fmt = None
     data = None
