@@ -21,6 +21,13 @@ from koemorph_tpu.ops.frontend import (
     log_mel_spectrogram,
     mel_with_temporal_detail,
 )
+from koemorph_tpu.ops.reconstruct import (
+    compute_reconstruction_snr,
+    griffin_lim,
+    mel_to_linear,
+    reconstruct_audio,
+    validate_mel_parameters,
+)
 
 __all__ = [
     "frame_signal",
@@ -36,4 +43,9 @@ __all__ = [
     "LogMelFrontend",
     "log_mel_spectrogram",
     "mel_with_temporal_detail",
+    "griffin_lim",
+    "mel_to_linear",
+    "reconstruct_audio",
+    "compute_reconstruction_snr",
+    "validate_mel_parameters",
 ]

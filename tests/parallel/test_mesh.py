@@ -68,3 +68,46 @@ class TestSharding:
         assert local_batch_size(16, mesh) == 4
         with pytest.raises(ValueError):
             local_batch_size(10, mesh)
+
+
+class TestBatchedSequentialDecoder:
+    def test_decode_over_8_devices(self, dummy_audio):
+        import jax.numpy as jnp
+        from koemorph_tpu.models.dual_stream_model import (
+            SequentialDualStreamModel)
+        from koemorph_tpu.parallel import BatchedSequentialDecoder
+
+        model = SequentialDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="basic", use_concatenation=False,
+            stride_frames=4, dropout=0.0)
+        span = 24 * 533
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, span)))["params"]
+        decoder = BatchedSequentialDecoder(model, params)
+        assert decoder.num_devices == 8
+        batch = np.stack([dummy_audio[:span]] * 16)
+        out = decoder(batch)
+        assert out.shape == (16, 3, 52)
+        # batch axis is sharded across the mesh
+        assert len(out.sharding.device_set) == 8
+        # padded rows identical to source rows (pure function of input)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[8]),
+                                   atol=1e-5)
+
+    def test_indivisible_batch_raises(self):
+        import jax.numpy as jnp
+        from koemorph_tpu.models.dual_stream_model import (
+            SequentialDualStreamModel)
+        from koemorph_tpu.parallel import BatchedSequentialDecoder
+
+        model = SequentialDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="basic", use_concatenation=False,
+            stride_frames=4, dropout=0.0)
+        span = 17 * 533
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, span)))["params"]
+        decoder = BatchedSequentialDecoder(model, params)
+        with pytest.raises(ValueError):
+            decoder(np.zeros((3, span), np.float32))
