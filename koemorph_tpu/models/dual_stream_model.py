@@ -86,12 +86,14 @@ class SimplifiedDualStreamModel(nn.Module):
     use_concatenation: bool = True
     dropout: float = 0.1
     smoothing_alpha_init: float = 0.8
+    stft_method: str = "matmul"        # matmul | rfft | pallas
 
     @property
     def mel_frontend(self) -> LogMelFrontend:
         return LogMelFrontend(
             sample_rate=self.sample_rate, target_fps=float(self.target_fps),
-            n_fft=1024, n_mels=80, f_min=80.0, f_max=8000.0, style="librosa")
+            n_fft=1024, n_mels=80, f_min=80.0, f_max=8000.0,
+            style="librosa", stft_method=self.stft_method)
 
     @property
     def emotion_config(self) -> EmotionFrontendConfig:
