@@ -39,7 +39,9 @@ class BlendshapeDecoder(nn.Module):
         if self.activation == "relu":
             return nn.relu(x)
         if self.activation == "gelu":
-            return nn.gelu(x)
+            # exact (erf) gelu — torch nn.GELU default; flax defaults to the
+            # tanh approximation, which differs by ~2e-4
+            return nn.gelu(x, approximate=False)
         if self.activation == "swish":
             return nn.silu(x)
         if self.activation == "leaky_relu":
