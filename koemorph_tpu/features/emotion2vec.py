@@ -85,6 +85,17 @@ def pool_to_fps(
         hi = jnp.clip(lo + 1, 0, t_in - 1)
         w = (src - lo.astype(src.dtype))[None, :, None]
         return features[:, lo] * (1 - w) + features[:, hi] * w
+    if method == "conv":
+        # strided average pooling (the conv variant of reference
+        # emotion2vec.py:296-306): kernel = stride = ceil(t_in / t_out),
+        # then linear-resample the remainder to exactly t_out
+        k = max(1, int(np.ceil(t_in / t_out)))
+        t_trim = (t_in // k) * k
+        pooled = features[:, :t_trim].reshape(b, t_trim // k, k, d).mean(2)
+        if pooled.shape[1] == t_out:
+            return pooled
+        return pool_to_fps(pooled, audio_len, sample_rate, target_fps,
+                           method="linear")
     raise ValueError(f"Unknown pooling method: {method}")
 
 

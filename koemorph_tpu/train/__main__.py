@@ -101,6 +101,8 @@ def main(argv=None) -> int:
                    help="train on N generated synthetic WAV+JSONL pairs")
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the work dir's last checkpoint")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("overrides", nargs="*", metavar="key=value",
@@ -149,6 +151,8 @@ def main(argv=None) -> int:
             model, tcfg, work_dir=work_dir, steps_per_epoch=steps,
             audio_samples=int(float(cfg.data.get("audio_max_length", 10.0))
                               * cfg.data.sample_rate))
+        if args.resume:
+            trainer.resume()
         history = trainer.fit(
             lambda: iter(dm.train_dataloader()),
             (lambda: iter(dm.val_dataloader()))
@@ -176,6 +180,8 @@ def main(argv=None) -> int:
         kwargs = {"span_frames": window} if kind == "sequence" else {}
         trainer = cls(model, tcfg, work_dir=work_dir,
                       steps_per_epoch=steps, **kwargs)
+        if args.resume:
+            trainer.resume()
         history = trainer.fit(loader_fn, None, max_epochs=max_epochs)
 
     final = history["train"][-1] if history["train"] else {}

@@ -214,6 +214,24 @@ class Trainer:
         self._log_scalars("val", out, self.global_step)
         return out
 
+    def resume(self) -> bool:
+        """Restore params + bookkeeping from the run's last checkpoint
+        (reference resume_from/checkpoint_path semantics,
+        src/train_sequential.py:487-489). Optimizer state restarts fresh
+        (momentum is cheap to rebuild; the schedule resumes by step)."""
+        restored = self.checkpoints.latest(target=self.state.params)
+        if restored is None:
+            return False
+        params, meta = restored
+        self.state = self.state.replace(
+            params=replicate(params, self.mesh))
+        self.epoch = int(meta.get("epoch", -1)) + 1
+        self.global_step = int(meta.get("global_step", 0))
+        self.state = self.state.replace(step=self.global_step)
+        logger.info("resumed from epoch %d (step %d)", self.epoch,
+                    self.global_step)
+        return True
+
     def fit(self, train_loader_fn: Callable[[], Iterable[dict]],
             val_loader_fn: Optional[Callable[[], Iterable[dict]]] = None,
             max_epochs: Optional[int] = None) -> dict:
