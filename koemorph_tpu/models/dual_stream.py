@@ -16,6 +16,13 @@ sigmoid head, then fused by learnable per-blendshape stream weights
 (softmax / temperature; initialized 2.0 toward the intended stream) and
 clamped to [0, 1].
 
+Faithfully-reproduced reference quirk: the stream-weight softmax normalizes
+ACROSS the 52 blendshapes (reference dual_stream_attention.py:252-267), so
+``final = (softmax(w_mel) + softmax(w_emo)) / 2 * sigmoid(head)`` bounds
+each coefficient near 1/52-scale unless the softmax concentrates. Weight
+transplant tests pin this behavior; training can sharpen the softmax but
+uniformly large outputs are unreachable by construction.
+
 Everything is static-shape; the module jits, vmaps, and scans.
 """
 
