@@ -23,6 +23,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite is compile-bound on CPU (egemaps /
+# prosody graphs take minutes); cached executables cut reruns drastically
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/koemorph_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
