@@ -16,6 +16,7 @@ from koemorph_tpu.data.dataset import (
 )
 from koemorph_tpu.data.sequential import (
     AdaptiveSequentialDataset,
+    prefetch_iterator,
     SequentialKoeMorphDataset,
     StrideSchedule,
     create_adaptive_dataloader,
@@ -30,5 +31,5 @@ __all__ = [
     "KoeMorphDataset", "KoeMorphDataModule", "Prefetcher", "collate_fn",
     "SequentialKoeMorphDataset", "AdaptiveSequentialDataset",
     "StrideSchedule", "create_sequential_dataloader",
-    "create_adaptive_dataloader", "sequential_collate",
+    "create_adaptive_dataloader", "sequential_collate", "prefetch_iterator",
 ]

@@ -251,6 +251,37 @@ def sequential_collate(samples: list[dict]) -> dict[str, np.ndarray]:
     }
 
 
+
+def prefetch_iterator(gen_fn, depth: int = 2):
+    """Wrap a batch-generator factory with a background producer thread so
+    host-side loading/collation overlaps device compute (the role of the
+    reference's DataLoader workers, sequential_dataset.py:355-362)."""
+
+    def iterate():
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        SENTINEL = object()
+
+        def produce():
+            try:
+                for item in gen_fn():
+                    q.put(item)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+
+    return iterate
+
+
 def create_sequential_dataloader(
     data_dir: PathLike,
     batch_size: int = 4,
@@ -275,7 +306,7 @@ def create_sequential_dataloader(
         if batch and not drop_last:
             yield sequential_collate(batch)
 
-    return iterate, dataset
+    return prefetch_iterator(iterate), dataset
 
 
 def create_adaptive_dataloader(
@@ -302,4 +333,4 @@ def create_adaptive_dataloader(
         if batch and not drop_last:
             yield sequential_collate(batch)
 
-    return iterate, dataset
+    return prefetch_iterator(iterate), dataset

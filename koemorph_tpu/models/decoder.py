@@ -144,7 +144,8 @@ class TemporalSmoother(nn.Module):
     ) -> tuple[jnp.ndarray, SmootherState]:
         if self.smoothing_method == "exponential":
             if self.learnable:
-                raw = self.param("alpha", lambda k: jnp.asarray(self.alpha))
+                raw = self.param("alpha", lambda k: jnp.asarray(
+                    self.alpha, dtype=jnp.float32))
                 alpha = nn.sigmoid(raw)
             else:
                 alpha = jnp.asarray(self.alpha)

@@ -135,7 +135,8 @@ class SimplifiedDualStreamModel(nn.Module):
         # temporal state still materializes it
         raw_alpha = self.param(
             "smoothing_alpha",
-            lambda k: jnp.asarray(self.smoothing_alpha_init))
+            lambda k: jnp.asarray(self.smoothing_alpha_init,
+                                  dtype=jnp.float32))
 
         mel, detail = mel_with_temporal_detail(audio, self.mel_frontend)
 
@@ -165,7 +166,8 @@ class SimplifiedDualStreamModel(nn.Module):
         (``model.apply(params, ..., method='apply_temporal_smoothing')``)."""
         raw_alpha = self.param(
             "smoothing_alpha",
-            lambda k: jnp.asarray(self.smoothing_alpha_init))
+            lambda k: jnp.asarray(self.smoothing_alpha_init,
+                                  dtype=jnp.float32))
         return _ema_step(blendshapes, state, nn.sigmoid(raw_alpha))
 
 
@@ -289,7 +291,8 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
         # ---- EMA smoothing across windows (associative scan) ----
         raw_alpha = self.param(
             "smoothing_alpha",
-            lambda k: jnp.asarray(self.smoothing_alpha_init))
+            lambda k: jnp.asarray(self.smoothing_alpha_init,
+                                  dtype=jnp.float32))
         alpha = nn.sigmoid(raw_alpha)
         s = _ema_associative(raw_seq, alpha)
         # reference gradient semantics: prev state is detached per step

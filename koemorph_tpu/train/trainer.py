@@ -141,7 +141,13 @@ class Trainer:
         self.writer = self._make_writer()
         self.epoch = 0
         self.global_step = 0
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        # pin the output state to the replicated sharding: otherwise step 1's
+        # output (default sharding) differs from the init state's
+        # NamedSharding and step 2 triggers a full recompile
+        from koemorph_tpu.parallel.mesh import replicated_sharding
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=0,
+            out_shardings=(replicated_sharding(self.mesh), None))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- subclass surface --------------------------------------------------
