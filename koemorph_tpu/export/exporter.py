@@ -131,14 +131,15 @@ def export_tflite(
 
 
 def _flatten(out) -> list[np.ndarray]:
-    return [np.asarray(x) for x in jax.tree_util.tree_leaves(out)]
+    # bool leaves (e.g. EMA `initialized` state) compare as floats
+    return [np.asarray(x, dtype=np.float64)
+            for x in jax.tree_util.tree_leaves(out)]
 
 
 def _max_diff(fn_a: Callable, fn_b: Callable, args: Sequence) -> float:
     a = _flatten(fn_a(*args))
     b = _flatten(fn_b(*args))
-    return float(max(np.max(np.abs(x - np.asarray(y)))
-                     for x, y in zip(a, b)))
+    return float(max(np.max(np.abs(x - y)) for x, y in zip(a, b)))
 
 
 def verify_export(fn: Callable, exported_fn: Callable, args: Sequence,
