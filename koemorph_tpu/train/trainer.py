@@ -289,6 +289,24 @@ class Trainer:
                 self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
 
 
+def _stream_weight_metrics(mel_w, emo_w) -> dict:
+    """Stream-specialization scalars for TensorBoard (the reference logs
+    attention/stream-weight diagnostics every N steps,
+    train_dual_stream.py attention-weight logging)."""
+    if mel_w is None or emo_w is None:
+        return {}
+    from koemorph_tpu.blendshapes import EXPRESSION_INDICES, MOUTH_INDICES
+
+    mouth = np.asarray(MOUTH_INDICES)
+    expr = np.asarray(EXPRESSION_INDICES)
+    sm_mel = jax.nn.softmax(mel_w)
+    sm_emo = jax.nn.softmax(emo_w)
+    return {
+        "stream/mel_on_mouth": jnp.sum(sm_mel[mouth]),
+        "stream/emotion_on_expression": jnp.sum(sm_emo[expr]),
+    }
+
+
 def _plain(cfg: Any) -> Any:
     if isinstance(cfg, dict):
         return {k: _plain(v) for k, v in cfg.items()}
@@ -353,10 +371,12 @@ class DualStreamTrainer(Trainer):
         attn = params.get("dual_stream_attention", {})
         mel_w = attn.get("mel_weights")
         emo_w = attn.get("emotion_weights")
-        return dual_stream_loss(
+        loss, metrics = dual_stream_loss(
             pred, target, mel_weights=mel_w, emotion_weights=emo_w,
             l1_weight=self.l1_weight, l2_weight=self.l2_weight,
             separation_weight=self.separation_weight)
+        metrics.update(_stream_weight_metrics(mel_w, emo_w))
+        return loss, metrics
 
 
 class SequentialTrainer(Trainer):
@@ -394,5 +414,9 @@ class SequentialTrainer(Trainer):
         target_seq = sequence_targets(
             batch["blendshapes"], self.model.window_frames,
             self.model.stride_frames, pred_seq.shape[1])
-        return sequence_koemorph_loss(pred_seq, target_seq,
-                                      config=self.loss_config)
+        loss, metrics = sequence_koemorph_loss(pred_seq, target_seq,
+                                               config=self.loss_config)
+        attn = params.get("dual_stream_attention", {})
+        metrics.update(_stream_weight_metrics(attn.get("mel_weights"),
+                                              attn.get("emotion_weights")))
+        return loss, metrics
