@@ -87,6 +87,8 @@ class SimplifiedDualStreamModel(nn.Module):
     dropout: float = 0.1
     smoothing_alpha_init: float = 0.8
     stft_method: str = "matmul"        # matmul | rfft | pallas
+    use_learnable_weights: bool = True  # False: hard mouth/expression masks
+    fusion_temperature: float = 1.0
 
     @property
     def mel_frontend(self) -> LogMelFrontend:
@@ -113,7 +115,8 @@ class SimplifiedDualStreamModel(nn.Module):
             mel_sequence_length=self.mel_sequence_length,
             mel_temporal_frames=3, emotion_dim=self.d_model,
             dropout=self.dropout, num_blendshapes=self.num_blendshapes,
-            use_learnable_weights=True, temperature=1.0,
+            use_learnable_weights=self.use_learnable_weights,
+            temperature=self.fusion_temperature,
             name="dual_stream_attention")
 
     def _project_emotion(self, raw: jnp.ndarray) -> jnp.ndarray:
