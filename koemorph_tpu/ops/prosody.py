@@ -13,7 +13,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from koemorph_tpu.ops.f0 import yin_f0
 from koemorph_tpu.ops.window import frame_signal

@@ -3,7 +3,6 @@ tests for mel_sliding_window + opensmile_extractor buffer/throttle/stats
 semantics, with the on-device compute replacing librosa/OpenSMILE)."""
 
 import numpy as np
-import pytest
 
 from koemorph_tpu.features import (
     AudioBuffer,

@@ -14,7 +14,6 @@ from koemorph_tpu.ops.pallas import (
     fused_log_mel_frontend,
 )
 from koemorph_tpu.ops.stft import stft_power
-from koemorph_tpu.ops.window import frame_signal
 
 
 def reference_logmel(audio, sr=16000, n_fft=1024, hop=533, n_mels=80,
