@@ -273,9 +273,11 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
     f0_semitone = jnp.where(
         f0 > 0, 12.0 * jnp.log2(jnp.maximum(f0, 1e-3) / 27.5), 0.0)
 
-    # --- spectrum ---
-    spec = jnp.fft.rfft(wframes, n=cfg.n_fft, axis=-1)
-    mag = jnp.abs(spec) + 1e-10
+    # --- spectrum (MXU matmul DFT: TPU has no native FFT) ---
+    from koemorph_tpu.ops.stft import autocorr_matmul, power_spectrum_matmul
+
+    mag = jnp.sqrt(jnp.maximum(
+        power_spectrum_matmul(wframes, cfg.n_fft), 0.0)) + 1e-10
     power = mag * mag
     n_bins = cfg.n_fft // 2 + 1
     freqs = np.linspace(0, sr / 2, n_bins).astype(np.float32)
@@ -302,9 +304,8 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
     shimmer = jnp.concatenate([shimmer[..., :1] * 0, shimmer], axis=-1)
 
     # --- HNR via autocorrelation at the F0 lag ---
-    fftsize = int(2 ** np.ceil(np.log2(2 * cfg.frame_length)))
-    fspec = jnp.fft.rfft(frames, n=fftsize, axis=-1)
-    acf = jnp.fft.irfft(fspec * jnp.conj(fspec), n=fftsize, axis=-1)
+    n_hnr_lags = int(np.ceil(sr / max(cfg.f0_min * 0.9, 1.0))) + 2
+    acf = autocorr_matmul(frames, n_hnr_lags)
     r0 = acf[..., 0] + 1e-12
     lag = jnp.clip((sr / jnp.maximum(f0, 1.0)).astype(jnp.int32), 1,
                    acf.shape[-1] - 1)
@@ -355,9 +356,7 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
     mfcc = jnp.einsum("...tm,km->...tk", log_mel, dct)
 
     # --- formants via LPC envelope (windowed-frame autocorrelation) ---
-    wfspec = jnp.fft.rfft(wframes, n=fftsize, axis=-1)
-    wacf = jnp.fft.irfft(wfspec * jnp.conj(wfspec), n=fftsize, axis=-1)
-    r = wacf[..., : cfg.lpc_order + 1]
+    r = autocorr_matmul(wframes, cfg.lpc_order + 1)
     a = _levinson(r, cfg.lpc_order)
     # envelope on a 128-point grid up to 4 kHz
     grid = np.linspace(50.0, 4000.0, 128).astype(np.float32)

@@ -56,16 +56,14 @@ def yin_frame_difference(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
     # autocorrelation c(tau) = sum_j x_j x_{j+tau} over the full frame,
     # restricted to j < W via the 'smart' YIN trick: compute full-frame
     # autocorr of x and of the tail, then combine with cumulative energies.
-    fft_size = int(2 ** np.ceil(np.log2(2 * n)))
-    spec = jnp.fft.rfft(frames, n=fft_size, axis=-1)
-    acf_full = jnp.fft.irfft(spec * jnp.conj(spec), n=fft_size,
-                             axis=-1)[..., : tau_max + 1]
+    # Autocorrelations run as MXU matmuls (Wiener-Khinchin) — TPU has no
+    # native FFT and XLA's FFT lowering is ~100x slower at these sizes.
+    from koemorph_tpu.ops.stft import autocorr_matmul
+
+    acf_full = autocorr_matmul(frames, tau_max + 1)
     # subtract the contribution of j >= W: sum_{j=W}^{n-1-tau} x_j x_{j+tau}
     tail = frames[..., w:]
-    tail_fft_size = int(2 ** np.ceil(np.log2(2 * tail.shape[-1])))
-    tspec = jnp.fft.rfft(tail, n=tail_fft_size, axis=-1)
-    acf_tail = jnp.fft.irfft(tspec * jnp.conj(tspec), n=tail_fft_size,
-                             axis=-1)[..., : tau_max + 1]
+    acf_tail = autocorr_matmul(tail, tau_max + 1)
     c = acf_full - acf_tail  # c(tau) = sum_{j=0}^{W-1} x_j x_{j+tau}
 
     sq = frames * frames

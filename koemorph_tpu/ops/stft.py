@@ -41,6 +41,49 @@ def dft_matrices(n_fft: int, dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarra
     return jnp.asarray(c, dtype=dtype), jnp.asarray(s, dtype=dtype)
 
 
+@functools.lru_cache(maxsize=8)
+def _iacf_matrix_np(n_fft: int, n_lags: int) -> np.ndarray:
+    """Inverse-DFT cosine matrix mapping a power spectrum (n_fft//2+1 bins)
+    to autocorrelation lags [0, n_lags):
+    ``acf(tau) = (1/N) [P_0 + 2 sum_k P_k cos(2 pi k tau / N) + (-1)^tau P_{N/2}]``.
+    """
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins, dtype=np.float64)[:, None]
+    tau = np.arange(n_lags, dtype=np.float64)[None, :]
+    m = np.cos(2.0 * np.pi * k * tau / n_fft)
+    coef = np.full((n_bins, 1), 2.0)
+    coef[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        coef[-1, 0] = 1.0
+    return (m * coef / n_fft).astype(np.float32)
+
+
+def power_spectrum_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """``|rfft(frames, n_fft)|^2`` as two MXU matmuls (TPU has no native
+    FFT; XLA's generic FFT lowering is ~100x slower than the MXU path for
+    these sizes). Frames shorter than ``n_fft`` are zero-padded."""
+    n = frames.shape[-1]
+    if n < n_fft:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
+                         + [(0, n_fft - n)])
+    c, s = dft_matrices(n_fft, dtype=frames.dtype)
+    re = jnp.matmul(frames, c, precision="highest")
+    im = jnp.matmul(frames, s, precision="highest")
+    return re * re + im * im
+
+
+def autocorr_matmul(frames: jnp.ndarray, n_lags: int,
+                    n_fft: int | None = None) -> jnp.ndarray:
+    """Frame autocorrelation ``acf(tau), tau in [0, n_lags)`` via the
+    Wiener-Khinchin identity, computed entirely as MXU matmuls."""
+    n = frames.shape[-1]
+    if n_fft is None:
+        n_fft = int(2 ** np.ceil(np.log2(2 * n)))
+    power = power_spectrum_matmul(frames, n_fft)
+    iacf = jnp.asarray(_iacf_matrix_np(n_fft, n_lags), dtype=frames.dtype)
+    return jnp.matmul(power, iacf, precision="highest")
+
+
 def stft_power(
     x: jnp.ndarray,
     *,
