@@ -79,10 +79,17 @@ class StreamingConfig:
         return int(self.sample_rate / self.target_fps)
 
     @property
+    def emotion_margin_samples(self) -> int:
+        """Extra ring length for the shifted-window offsets (0.6 s at the
+        default 0/0.3/0.6 s intervals)."""
+        return int(max(self.emotion_config.window_offsets)
+                   * self.sample_rate)
+
+    @property
     def emotion_ring_len(self) -> int:
-        # 20 s + 0.6 s of shifted-window margin, rounded up to whole hops
-        margin = int(0.6 * self.sample_rate)
-        n = int(self.emotion_context_s * self.sample_rate) + margin
+        # context + shifted-window margin, rounded up to whole hops
+        n = int(self.emotion_context_s * self.sample_rate) \
+            + self.emotion_margin_samples
         return ((n + self.hop_length - 1) // self.hop_length) \
             * self.hop_length
 
@@ -174,7 +181,7 @@ def stream_frame(
     #    on refresh frames)
     def refresh(_):
         ctx = ring[-int(cfg.emotion_context_s * cfg.sample_rate)
-                   - int(0.6 * cfg.sample_rate):]
+                   - cfg.emotion_margin_samples:]
         return emotion_features(ctx, cfg.emotion_config)
 
     do_refresh = (state.frame_count % cfg.emotion_update_frames) == 0
