@@ -23,7 +23,19 @@ import numpy as np
 
 from koemorph_tpu.data.wav import read_wav, resample_linear
 
-__all__ = ["AudioFileReader", "MicCapture", "HAS_PYAUDIO"]
+__all__ = ["AudioFileReader", "MicCapture", "HAS_PYAUDIO", "EOS"]
+
+
+class _EndOfStream:
+    """Distinct end-of-stream sentinel: ``read()`` returns ``EOS`` when the
+    source is finished and ``None`` only on a transient timeout, so
+    consumers can tell a stall from completion."""
+
+    def __repr__(self):  # pragma: no cover
+        return "EOS"
+
+
+EOS = _EndOfStream()
 
 try:  # optional mic backend
     import pyaudio  # type: ignore
@@ -64,12 +76,17 @@ class AudioFileReader:
     def _run(self) -> None:
         period = self.chunk_size / self.sample_rate
         next_t = time.perf_counter()
+        # zero-pad the tail so the final partial chunk is emitted too (a
+        # file shorter than one chunk still yields one chunk)
+        n = len(self.audio)
+        n_chunks = max(1, -(-n // self.chunk_size))
+        padded = np.pad(self.audio,
+                        (0, n_chunks * self.chunk_size - n))
         while not self._stop.is_set():
-            for start in range(0, len(self.audio) - self.chunk_size + 1,
-                               self.chunk_size):
+            for i in range(n_chunks):
                 if self._stop.is_set():
                     break
-                chunk = self.audio[start:start + self.chunk_size]
+                chunk = padded[i * self.chunk_size:(i + 1) * self.chunk_size]
                 try:
                     self.queue.put(chunk, timeout=1.0)
                 except queue.Full:
@@ -81,10 +98,10 @@ class AudioFileReader:
                         time.sleep(delay)
             if not self.loop:
                 break
-        self.queue.put(None)  # end-of-stream sentinel
+        self.queue.put(EOS)
 
-    def read(self, timeout: float = 2.0) -> Optional[np.ndarray]:
-        """Next chunk, or None at end of stream."""
+    def read(self, timeout: float = 2.0):
+        """Next chunk; ``EOS`` at end of stream; ``None`` on timeout."""
         try:
             return self.queue.get(timeout=timeout)
         except queue.Empty:
@@ -124,7 +141,8 @@ class MicCapture:
             pass  # drop oldest-style backpressure: skip when consumer lags
         return (None, pyaudio.paContinue)
 
-    def read(self, timeout: float = 2.0) -> Optional[np.ndarray]:
+    def read(self, timeout: float = 2.0):
+        """Next chunk, or ``None`` on timeout (a mic never reaches EOS)."""
         try:
             return self.queue.get(timeout=timeout)
         except queue.Empty:

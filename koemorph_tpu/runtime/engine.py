@@ -29,22 +29,38 @@ def run_realtime_loop(
     max_frames: Optional[int] = None,
     on_frame: Optional[Callable[[np.ndarray, float], None]] = None,
     log_every: int = 150,
+    max_idle_reads: int = 10,
 ) -> dict:
     """Run until the source ends (or ``max_frames``); returns perf stats.
 
     The source thread paces delivery at real time; this loop just drains the
-    queue, so it never over-runs the source. ``on_frame(blendshapes, t)`` is
-    called per emitted frame after the streamer send.
+    queue, so it never over-runs the source. A ``None`` read is a transient
+    stall (retried up to ``max_idle_reads`` times); end-of-stream is the
+    distinct ``audio.EOS`` sentinel. ``on_frame(blendshapes, t)`` is called
+    per emitted frame after the streamer send with the wall-clock timestamp
+    (``time.time()``, matching the reference packet format).
     """
+    from koemorph_tpu.runtime.audio import EOS
+
     engine.warmup()
     frames = 0
+    idle_reads = 0
+    done = False
     t_start = time.perf_counter()
-    while True:
+    while not done:
         chunk = source.read()
-        if chunk is None:
+        if chunk is EOS:
             break
+        if chunk is None:               # transient stall, not end-of-stream
+            idle_reads += 1
+            if idle_reads >= max_idle_reads:
+                logger.warning("source idle for %d reads; stopping",
+                               idle_reads)
+                break
+            continue
+        idle_reads = 0
         for bs in engine.process_audio(chunk):
-            now = time.perf_counter()
+            now = time.time()           # wall clock: reference packet parity
             if streamer is not None:
                 streamer.send(bs, now)
             if on_frame is not None:
@@ -56,8 +72,9 @@ def run_realtime_loop(
                     "frame %d: avg %.2f ms, max %.2f ms, RTF %.4f",
                     frames, stats["avg_frame_time_ms"],
                     stats["max_frame_time_ms"], stats["rtf"])
-        if max_frames is not None and frames >= max_frames:
-            break
+            if max_frames is not None and frames >= max_frames:
+                done = True
+                break
     stats = engine.performance_stats()
     stats["wall_s"] = time.perf_counter() - t_start
     return stats

@@ -28,6 +28,15 @@ Streaming frame semantics: mel row ``t`` is the STFT frame centered at
 stream runs one frame (~33 ms) behind the newest audio — the interior-frame
 definition the batch path uses (see models/dual_stream_model.py docstring).
 
+Inherited train/serve skew (present in the reference too): training
+extracts the emotion vector over the training span (~the 8.5 s model
+window, or the full utterance in the reference), while streaming refreshes
+it over ``emotion_context_s`` (20 s, the reference's production buffer,
+opensmile_extractor.py). eGeMAPS functionals are window statistics, so
+their distribution shifts with context length; set
+``emotion_context_s`` to the training span length if exact
+train/serve matching matters more than long-context emotion.
+
 There are no locks anywhere on the device path by construction; the only
 shared-memory boundary left is the host audio queue (see runtime/audio.py).
 """
@@ -73,6 +82,9 @@ class StreamingConfig:
     use_concatenation: bool = True
     emotion_context_s: float = 20.0   # emotion audio ring length
     emotion_update_frames: int = 9    # ~300 ms at 30 fps
+    # fusion knobs — MUST match the trained model's settings
+    use_learnable_weights: bool = True
+    fusion_temperature: float = 1.0
 
     @property
     def hop_length(self) -> int:
@@ -107,7 +119,24 @@ class StreamingConfig:
             num_mel_channels=self.n_mels,
             mel_sequence_length=self.window_frames,
             mel_temporal_frames=3, emotion_dim=self.d_model,
-            dropout=0.0, num_blendshapes=self.num_blendshapes)
+            dropout=0.0, num_blendshapes=self.num_blendshapes,
+            use_learnable_weights=self.use_learnable_weights,
+            temperature=self.fusion_temperature)
+
+    @classmethod
+    def from_model(cls, model, **overrides) -> "StreamingConfig":
+        """Build a config matching a SimplifiedDualStreamModel's settings
+        (the safe way to avoid train/serve skew in fusion knobs)."""
+        return cls(
+            sample_rate=model.sample_rate, target_fps=model.target_fps,
+            window_frames=model.mel_sequence_length,
+            d_model=model.d_model, num_heads=model.num_heads,
+            num_blendshapes=model.num_blendshapes,
+            emotion_backend=model.emotion_backend,
+            use_concatenation=model.use_concatenation,
+            use_learnable_weights=model.use_learnable_weights,
+            fusion_temperature=model.fusion_temperature,
+            **overrides)
 
 
 @flax.struct.dataclass

@@ -153,8 +153,14 @@ def main(argv=None) -> int:
                               * cfg.data.sample_rate))
         if args.resume:
             trainer.resume()
+
+        def train_loader(epoch: int):
+            loader = dm.train_dataloader()
+            loader.set_epoch(epoch)      # per-epoch reshuffle
+            return iter(loader)
+
         history = trainer.fit(
-            lambda: iter(dm.train_dataloader()),
+            train_loader,
             (lambda: iter(dm.val_dataloader()))
             if dm.val_dataset else None,
             max_epochs=max_epochs)
@@ -182,7 +188,12 @@ def main(argv=None) -> int:
                       steps_per_epoch=steps, **kwargs)
         if args.resume:
             trainer.resume()
-        history = trainer.fit(loader_fn, None, max_epochs=max_epochs)
+
+        def train_loader(epoch: int):
+            dataset.set_epoch(epoch)     # stride schedule + file reshuffle
+            return loader_fn()
+
+        history = trainer.fit(train_loader, None, max_epochs=max_epochs)
 
     final = history["train"][-1] if history["train"] else {}
     logger.info("training done: %s",

@@ -89,12 +89,15 @@ class CheckpointManager:
 
     def save(self, state: Any, *, epoch: int, global_step: int,
              val_loss: Optional[float] = None) -> None:
+        # update best BEFORE writing 'last' so a crash+resume restores the
+        # true best_val_loss and cannot overwrite 'best' with a worse model
+        improved = val_loss is not None and val_loss < self.best_val_loss
+        if improved:
+            self.best_val_loss = float(val_loss)
         kwargs = dict(epoch=epoch, global_step=global_step,
                       best_val_loss=self.best_val_loss, config=self.config)
         save_checkpoint(self.ckpt_dir / "last", state, **kwargs)
-        if val_loss is not None and val_loss < self.best_val_loss:
-            self.best_val_loss = float(val_loss)
-            kwargs["best_val_loss"] = self.best_val_loss
+        if improved:
             save_checkpoint(self.ckpt_dir / "best", state, **kwargs)
         if self.keep_epoch_every and epoch % self.keep_epoch_every == 0:
             save_checkpoint(self.ckpt_dir / f"epoch_{epoch}", state, **kwargs)

@@ -184,7 +184,12 @@ class Trainer:
 
     def _prepare(self, batch: dict):
         batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
-        batch, _ = pad_batch_to_multiple(batch, self.mesh.devices.size)
+        batch, real = pad_batch_to_multiple(batch, self.mesh.devices.size)
+        b = next(v.shape[0] for v in batch.values()
+                 if getattr(v, "ndim", 0) > 0)
+        mask = np.zeros((b,), np.float32)
+        mask[:real] = 1.0
+        batch["sample_mask"] = mask
         return shard_batch(batch, self.mesh)
 
     def train_epoch(self, loader: Iterable[dict]) -> dict[str, float]:
@@ -248,8 +253,16 @@ class Trainer:
         best, since_best = float("inf"), 0
         history = {"train": [], "val": []}
 
+        import inspect
+        takes_epoch = len(inspect.signature(
+            train_loader_fn).parameters) >= 1
+
         for self.epoch in range(self.epoch, max_epochs):
-            train_metrics = self.train_epoch(train_loader_fn())
+            # reshuffle per epoch: loader factories accepting an epoch arg
+            # get it (Prefetcher.set_epoch / dataset.set_epoch hooks)
+            loader = (train_loader_fn(self.epoch) if takes_epoch
+                      else train_loader_fn())
+            train_metrics = self.train_epoch(loader)
             history["train"].append(train_metrics)
             val_loss = None
             if val_loader_fn is not None and \
@@ -287,6 +300,25 @@ class Trainer:
         for k, v in scalars.items():
             if np.isscalar(v) or getattr(v, "ndim", 1) == 0:
                 self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+def _mask_padded(pred: jnp.ndarray, target: jnp.ndarray,
+                 batch: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Neutralize padding rows added by pad_batch_to_multiple: a padded
+    row's prediction is replaced by its (detached) target, so its error
+    terms and gradients are exactly zero; the returned scale corrects the
+    mean-denominator so real rows keep full weight. Value-based
+    regularizers (sparsity/smoothness/landmark) see the detached target
+    values on padded rows — no gradient, small constant bias in the logged
+    metric only."""
+    mask = batch.get("sample_mask")
+    if mask is None:
+        return pred, jnp.float32(1.0)
+    shape = (pred.shape[0],) + (1,) * (pred.ndim - 1)
+    m = mask.reshape(shape)
+    pred = m * pred + (1 - m) * jax.lax.stop_gradient(target)
+    scale = pred.shape[0] / jnp.maximum(jnp.sum(mask), 1.0)
+    return pred, scale
 
 
 def _stream_weight_metrics(mel_w, emo_w) -> dict:
@@ -335,7 +367,9 @@ class KoeMorphTrainer(Trainer):
             {"params": params}, batch["audio"],
             deterministic=rng is None, rngs=rngs)
         target = batch["arkit"][:, 0, :]
-        return koemorph_loss(pred, target, config=self.loss_config)
+        pred, scale = _mask_padded(pred, target, batch)
+        loss, metrics = koemorph_loss(pred, target, config=self.loss_config)
+        return loss * scale, metrics
 
 
 class DualStreamTrainer(Trainer):
@@ -349,7 +383,6 @@ class DualStreamTrainer(Trainer):
         self.l1_weight = float(tcfg.get("l1_weight", 1.0))
         self.l2_weight = float(tcfg.get("l2_weight",
                                         tcfg.get("mse_weight", 0.5)))
-        self.velocity_weight = float(tcfg.get("velocity_weight_seq", 0.1))
         self.separation_weight = float(
             tcfg.get("stream_separation_weight", 0.01))
         self.audio_samples = audio_samples or (
@@ -368,6 +401,7 @@ class DualStreamTrainer(Trainer):
         target = batch["blendshapes"]
         if target.ndim == 3:  # (B, W, 52) window -> last frame is aligned
             target = target[:, -1, :]
+        pred, scale = _mask_padded(pred, target, batch)
         attn = params.get("dual_stream_attention", {})
         mel_w = attn.get("mel_weights")
         emo_w = attn.get("emotion_weights")
@@ -376,7 +410,7 @@ class DualStreamTrainer(Trainer):
             l1_weight=self.l1_weight, l2_weight=self.l2_weight,
             separation_weight=self.separation_weight)
         metrics.update(_stream_weight_metrics(mel_w, emo_w))
-        return loss, metrics
+        return loss * scale, metrics
 
 
 class SequentialTrainer(Trainer):
@@ -414,9 +448,10 @@ class SequentialTrainer(Trainer):
         target_seq = sequence_targets(
             batch["blendshapes"], self.model.window_frames,
             self.model.stride_frames, pred_seq.shape[1])
+        pred_seq, scale = _mask_padded(pred_seq, target_seq, batch)
         loss, metrics = sequence_koemorph_loss(pred_seq, target_seq,
                                                config=self.loss_config)
         attn = params.get("dual_stream_attention", {})
         metrics.update(_stream_weight_metrics(attn.get("mel_weights"),
                                               attn.get("emotion_weights")))
-        return loss, metrics
+        return loss * scale, metrics

@@ -37,20 +37,16 @@ def build_engine(args):
         StreamingConfig, StreamingInference)
     from koemorph_tpu.train.checkpoint import load_checkpoint
 
-    cfg = StreamingConfig(
-        sample_rate=args.sample_rate, target_fps=args.fps,
-        window_frames=512 if args.fps == 60 else 256,
+    model = SimplifiedDualStreamModel(
         d_model=args.d_model, num_heads=args.num_heads,
+        mel_sequence_length=512 if args.fps == 60 else 256,
         emotion_backend=args.emotion_backend,
         use_concatenation=args.emotion_backend == "egemaps",
-        emotion_update_frames=max(1, int(0.3 * args.fps)))
-
-    model = SimplifiedDualStreamModel(
-        d_model=cfg.d_model, num_heads=cfg.num_heads,
-        mel_sequence_length=cfg.window_frames,
-        emotion_backend=cfg.emotion_backend,
-        use_concatenation=cfg.use_concatenation,
-        target_fps=cfg.target_fps, dropout=0.0)
+        sample_rate=args.sample_rate, target_fps=args.fps, dropout=0.0)
+    # derive the streaming config from the model so fusion knobs
+    # (use_learnable_weights / temperature) can't skew train vs serve
+    cfg = StreamingConfig.from_model(
+        model, emotion_update_frames=max(1, int(0.3 * args.fps)))
     example = jnp.zeros((1, cfg.window_frames * cfg.hop_length), jnp.float32)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), example, TemporalState.create(1))["params"]

@@ -111,13 +111,23 @@ def main() -> int:
             osc_address=args.osc_address,
             output_file=args.output_file if args.output == "file" else None)
 
+    from koemorph_tpu.runtime.audio import EOS
+
     frame_times: list[float] = []
     frames = 0
+    idle = 0
     try:
         while True:
             chunk = source.read()
-            if chunk is None:
+            if chunk is EOS:
                 break
+            if chunk is None:       # transient stall
+                idle += 1
+                if idle >= 10:
+                    logger.warning("source idle; stopping")
+                    break
+                continue
+            idle = 0
             t0 = time.perf_counter()
             buf = np.concatenate([buf[len(chunk):], chunk])
             bs = np.asarray(

@@ -191,7 +191,8 @@ class TestStreamers:
 
 
 class TestAudioFileReader:
-    def test_replays_wav(self, tmp_path, dummy_audio):
+    def test_replays_wav_including_tail(self, tmp_path, dummy_audio):
+        from koemorph_tpu.runtime.audio import EOS
         wav = tmp_path / "in.wav"
         write_wav(wav, dummy_audio[:8000], 16000)
         reader = AudioFileReader(wav, chunk_size=533, realtime=False)
@@ -199,10 +200,23 @@ class TestAudioFileReader:
         chunks = []
         while True:
             c = reader.read()
-            if c is None:
+            if c is EOS:
                 break
+            assert c is not None
             chunks.append(c)
-        assert len(chunks) == 8000 // 533
-        np.testing.assert_allclose(
-            np.concatenate(chunks),
-            dummy_audio[: len(chunks) * 533], atol=1e-3)
+        # tail partial chunk is zero-padded and emitted (ceil division)
+        assert len(chunks) == -(-8000 // 533)
+        flat = np.concatenate(chunks)
+        np.testing.assert_allclose(flat[:8000], dummy_audio[:8000],
+                                   atol=1e-3)
+        np.testing.assert_allclose(flat[8000:], 0.0, atol=1e-7)
+
+    def test_short_file_yields_one_chunk(self, tmp_path, dummy_audio):
+        from koemorph_tpu.runtime.audio import EOS
+        wav = tmp_path / "short.wav"
+        write_wav(wav, dummy_audio[:100], 16000)
+        reader = AudioFileReader(wav, chunk_size=533, realtime=False)
+        reader.start()
+        c = reader.read()
+        assert c is not EOS and len(c) == 533
+        assert reader.read() is EOS

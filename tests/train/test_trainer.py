@@ -176,3 +176,86 @@ class TestSequentialTrainer:
                                      key="blendshapes")
         metrics = trainer.train_epoch(iter(batches))
         assert np.isfinite(metrics["loss"])
+
+
+class TestReviewRegressions:
+    """Regressions for code-review findings (padding loss bias, stale best
+    on resume, epoch reshuffle)."""
+
+    def test_mask_padded_zeroes_pad_rows(self):
+        import jax
+        import jax.numpy as jnp
+        from koemorph_tpu.train.trainer import _mask_padded
+        pred = jnp.ones((4, 52)) * 0.8
+        target = jnp.zeros((4, 52))
+        batch = {"sample_mask": jnp.asarray([1.0, 1.0, 0.0, 0.0])}
+        masked, scale = _mask_padded(pred, target, batch)
+        # padded rows equal target -> zero error; real rows untouched
+        np.testing.assert_allclose(np.asarray(masked[:2]), 0.8)
+        np.testing.assert_allclose(np.asarray(masked[2:]), 0.0)
+        assert float(scale) == pytest.approx(2.0)
+        # gradients do not flow through padded rows
+        def loss(p):
+            m, s = _mask_padded(p, target, batch)
+            return jnp.mean((m - target) ** 2) * s
+        g = np.asarray(jax.grad(loss)(pred))
+        assert np.abs(g[:2]).sum() > 0
+        np.testing.assert_allclose(g[2:], 0.0)
+
+    def test_padded_loss_matches_unpadded(self, tmp_path):
+        """Loss over a 5-real/3-pad batch equals the loss over the 5 real
+        rows alone (the review's 5/8-gradient-weight bug)."""
+        import jax.numpy as jnp
+        from koemorph_tpu.models.losses import koemorph_loss, KoeMorphLossConfig
+        from koemorph_tpu.train.trainer import _mask_padded
+        rng = np.random.default_rng(0)
+        pred5 = jnp.asarray(rng.uniform(0, 1, (5, 52)).astype(np.float32))
+        tgt5 = jnp.asarray(rng.uniform(0, 1, (5, 52)).astype(np.float32))
+        # error-based terms only: value-based regularizers (sparsity/
+        # smoothness/landmark) see detached target values on padded rows —
+        # gradient-free but not exactly equal to the unpadded loss
+        cfg = KoeMorphLossConfig(mse_weight=1.0, l1_weight=0.1,
+                                 perceptual_weight=0.0, temporal_weight=0.0,
+                                 sparsity_weight=0.0, smoothness_weight=0.0,
+                                 landmark_weight=0.0, velocity_weight=0.0)
+        want, _ = koemorph_loss(pred5, tgt5, config=cfg)
+        pred8 = jnp.concatenate([pred5, jnp.tile(pred5[-1:], (3, 1))])
+        tgt8 = jnp.concatenate([tgt5, jnp.tile(tgt5[-1:], (3, 1))])
+        batch = {"sample_mask": jnp.asarray([1.0] * 5 + [0.0] * 3)}
+        masked, scale = _mask_padded(pred8, tgt8, batch)
+        got, _ = koemorph_loss(masked, tgt8, config=cfg)
+        np.testing.assert_allclose(float(got * scale), float(want),
+                                   rtol=1e-6)
+
+    def test_checkpoint_best_survives_resume(self, tmp_path):
+        """'last' records the updated best_val_loss so resume cannot let a
+        worse model overwrite 'best'."""
+        mgr = CheckpointManager(tmp_path, keep_epoch_every=1000)
+        best_state = {"w": np.ones(2, np.float32)}
+        mgr.save({"w": np.zeros(2, np.float32)}, epoch=0, global_step=1,
+                 val_loss=0.12)
+        mgr.save(best_state, epoch=1, global_step=2, val_loss=0.10)
+        # simulate crash + resume: a fresh manager restores from 'last'
+        mgr2 = CheckpointManager(tmp_path, keep_epoch_every=1000)
+        _, meta = load_checkpoint(tmp_path / "last")
+        mgr2.best_val_loss = float(meta["best_val_loss"])
+        assert mgr2.best_val_loss == pytest.approx(0.10)
+        mgr2.save({"w": np.full(2, 9.0, np.float32)}, epoch=2,
+                  global_step=3, val_loss=0.11)   # worse than true best
+        best, bmeta = load_checkpoint(tmp_path / "best", target=best_state)
+        np.testing.assert_array_equal(best["w"], best_state["w"])
+
+    def test_fit_passes_epoch_to_loader(self, tmp_path):
+        model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
+                                        decoder_hidden=16)
+        trainer = KoeMorphTrainer(model, {"training": TRAIN_CFG},
+                                  audio_samples=1600, work_dir=tmp_path,
+                                  steps_per_epoch=1)
+        seen = []
+
+        def loader(epoch):
+            seen.append(epoch)
+            return iter(_synthetic_batches(1, 8, 1600))
+
+        trainer.fit(loader, max_epochs=2)
+        assert seen == [0, 1]
