@@ -160,23 +160,14 @@ class Prefetcher:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        def produce():
+            for idxs in batches:
+                yield self.collate([self.dataset[int(i)] for i in idxs])
 
-        def worker():
-            try:
-                for idxs in batches:
-                    q.put(self.collate([self.dataset[int(i)] for i in idxs]))
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        # shared background producer: propagates worker exceptions to the
+        # consumer instead of silently ending the epoch
+        from koemorph_tpu.data.sequential import prefetch_iterator
+        yield from prefetch_iterator(produce, depth=self.prefetch)()
 
 
 class KoeMorphDataModule:

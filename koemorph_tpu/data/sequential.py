@@ -127,8 +127,14 @@ class SequentialKoeMorphDataset:
             "file_idx": file_idx,
             "window_idx": s // max(self.stride_frames, 1),
             "start_frame": s,
+            "new_file": s == 0,   # first window of its file (state reset)
             "file_name": self.file_pairs[file_idx][0].stem,
         }
+
+    def _stride_for_file(self, file_idx: int) -> Optional[int]:
+        """Stride override hook (AdaptiveSequentialDataset schedules here);
+        None = the dataset's fixed stride."""
+        return None
 
     def __iter__(self) -> Iterator[dict]:
         while True:
@@ -137,8 +143,10 @@ class SequentialKoeMorphDataset:
                 rng = np.random.default_rng(self.seed + self._epoch)
                 rng.shuffle(order)
             for file_idx in order:
+                stride = self._stride_for_file(int(file_idx))
                 try:
-                    starts = self.windows_for_file(int(file_idx))
+                    starts = self.windows_for_file(
+                        int(file_idx), stride_frames=stride)
                 except Exception as e:  # mirror lenient per-file recovery
                     logger.error("Error processing %s: %s",
                                  self.file_pairs[int(file_idx)][0], e)
@@ -211,27 +219,9 @@ class AdaptiveSequentialDataset(SequentialKoeMorphDataset):
         super().__init__(*args, **kwargs)
         self.schedule = schedule or StrideSchedule()
 
-    def __iter__(self) -> Iterator[dict]:
-        while True:
-            order = np.arange(len(self.file_pairs))
-            if self.shuffle_files:
-                rng = np.random.default_rng(self.seed + self._epoch)
-                rng.shuffle(order)
-            for file_idx in order:
-                stride = self.schedule.stride_for(
-                    self._epoch, int(file_idx), len(self.file_pairs))
-                try:
-                    starts = self.windows_for_file(int(file_idx),
-                                                   stride_frames=stride)
-                except Exception as e:
-                    logger.error("Error processing %s: %s",
-                                 self.file_pairs[int(file_idx)][0], e)
-                    continue
-                for s in starts:
-                    yield self.get_window(int(file_idx), int(s))
-            if not self.loop_dataset:
-                break
-            self._epoch += 1
+    def _stride_for_file(self, file_idx: int) -> Optional[int]:
+        return self.schedule.stride_for(self._epoch, file_idx,
+                                        len(self.file_pairs))
 
 
 def sequential_collate(samples: list[dict]) -> dict[str, np.ndarray]:
@@ -247,6 +237,8 @@ def sequential_collate(samples: list[dict]) -> dict[str, np.ndarray]:
                                      np.int32),
         "start_frames": np.asarray([s["start_frame"] for s in samples],
                                    np.int32),
+        "new_file": np.asarray([s.get("new_file", False) for s in samples],
+                               bool),
         "file_names": [s["file_name"] for s in samples],
     }
 
@@ -255,7 +247,10 @@ def sequential_collate(samples: list[dict]) -> dict[str, np.ndarray]:
 def prefetch_iterator(gen_fn, depth: int = 2):
     """Wrap a batch-generator factory with a background producer thread so
     host-side loading/collation overlaps device compute (the role of the
-    reference's DataLoader workers, sequential_dataset.py:355-362)."""
+    reference's DataLoader workers, sequential_dataset.py:355-362).
+
+    Producer exceptions are re-raised in the consumer — a mid-epoch loading
+    failure must fail the epoch, not silently truncate it."""
 
     def iterate():
         import queue
@@ -268,8 +263,9 @@ def prefetch_iterator(gen_fn, depth: int = 2):
             try:
                 for item in gen_fn():
                     q.put(item)
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -277,6 +273,8 @@ def prefetch_iterator(gen_fn, depth: int = 2):
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     return iterate
@@ -295,18 +293,7 @@ def create_sequential_dataloader(
     dataset = SequentialKoeMorphDataset(
         data_dir=data_dir, window_frames=window_frames,
         stride_frames=stride_frames, **kwargs)
-
-    def iterate():
-        batch: list[dict] = []
-        for sample in dataset:
-            batch.append(sample)
-            if len(batch) == batch_size:
-                yield sequential_collate(batch)
-                batch = []
-        if batch and not drop_last:
-            yield sequential_collate(batch)
-
-    return prefetch_iterator(iterate), dataset
+    return _batched_loader(dataset, batch_size, drop_last), dataset
 
 
 def create_adaptive_dataloader(
@@ -322,6 +309,11 @@ def create_adaptive_dataloader(
     dataset = AdaptiveSequentialDataset(
         data_dir=data_dir, window_frames=window_frames, schedule=schedule,
         **kwargs)
+    return _batched_loader(dataset, batch_size, drop_last), dataset
+
+
+def _batched_loader(dataset, batch_size: int, drop_last: bool):
+    """Shared window batcher with background prefetch."""
 
     def iterate():
         batch: list[dict] = []
@@ -333,4 +325,4 @@ def create_adaptive_dataloader(
         if batch and not drop_last:
             yield sequential_collate(batch)
 
-    return prefetch_iterator(iterate), dataset
+    return prefetch_iterator(iterate)

@@ -179,6 +179,7 @@ class TorchStyleMHA(nn.Module):
         query: jnp.ndarray,   # (B, Q, E)
         key: jnp.ndarray,     # (B, T, E)
         value: jnp.ndarray,   # (B, T, E)
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True=valid
         need_weights: bool = False,
         deterministic: bool = True,
     ):
@@ -206,6 +207,10 @@ class TorchStyleMHA(nn.Module):
 
         q, k, v = split(q, q_len), split(k, t), split(v, t)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(head_dim)
+        if key_padding_mask is not None:
+            # torch semantics: padded keys (mask False) are excluded
+            scores = jnp.where(
+                key_padding_mask[:, None, None, :], scores, NEG_INF)
         attn = nn.softmax(scores, axis=-1)
         attn_dropped = nn.Dropout(self.dropout)(attn,
                                                 deterministic=deterministic)
@@ -253,11 +258,8 @@ class TransformerEncoderLayer(nn.Module):
         attn_out, _ = TorchStyleMHA(
             self.d_model, self.num_heads, dropout=self.dropout,
             name="self_attn",
-        )(x, x, x, deterministic=deterministic)
-        if key_padding_mask is not None:
-            # zero contribution from padded keys was already handled by the
-            # mask inside attention in torch; emulate by masking scores.
-            pass
+        )(x, x, x, key_padding_mask=key_padding_mask,
+          deterministic=deterministic)
         x = nn.LayerNorm()(x + nn.Dropout(self.dropout)(
             attn_out, deterministic=deterministic))
         h = nn.Dense(self.dim_feedforward)(x)

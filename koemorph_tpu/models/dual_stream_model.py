@@ -208,8 +208,8 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
     """Full-utterance decoding: (B, L) audio -> (B, T_out, 52) sequence."""
 
     stride_frames: int = 1
-    decode_mode: str = "parallel"   # parallel | scan
-    window_chunk: int = 512         # windows per parallel chunk (memory cap)
+    decode_mode: str = "parallel"   # parallel | chunked ("scan" = chunked)
+    window_chunk: int = 512         # windows per chunk in chunked mode
 
     @property
     def window_frames(self) -> int:
@@ -250,8 +250,6 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
         # ---- gather windows of 257 frames, normalize per window ----
         w_frames = self.window_frames + 1  # librosa yields W+1 centered frames
         starts = np.arange(n_out) * self.stride_frames
-        gather_idx = jnp.asarray(
-            starts[:, None] + np.arange(w_frames)[None, :])  # (n_out, 257)
 
         attention = self._attention_module()
 
@@ -261,35 +259,43 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
             norm = (jnp.maximum(window_db - wmax, -80.0) + 80.0) / 80.0
             return norm[..., : self.window_frames, :], norm[..., -3:, :]
 
-        if self.decode_mode == "parallel":
-            windows = jnp.take(log_mel, gather_idx, axis=1)  # (B,n,257,80)
+        def decode_windows(start_idx: np.ndarray):
+            """Decode the windows starting at these frame indices in one
+            parallel batch; returns (raw (n, B, 52), extras)."""
+            n = len(start_idx)
+            g = jnp.asarray(start_idx[:, None]
+                            + np.arange(w_frames)[None, :])
+            windows = jnp.take(log_mel, g, axis=1)        # (B,n,257,80)
             mel_w, detail_w = window_features(windows)
-            flat_mel = mel_w.reshape(b * n_out, self.window_frames, 80)
-            flat_detail = detail_w.reshape(b * n_out, 3, 80)
-            flat_emotion = jnp.repeat(emotion, n_out, axis=0)
-            out = attention(flat_mel, flat_detail, flat_emotion,
-                            return_attention=return_attention,
-                            deterministic=deterministic)
-            raw_seq = out["blendshapes"].reshape(b, n_out, -1)
-            raw_seq = jnp.swapaxes(raw_seq, 0, 1)  # (n_out, B, 52)
-            extras = {
-                k: out[k].reshape((b, n_out) + out[k].shape[1:])
-                for k in ("mel_attention_weights",
-                          "emotion_attention_weights")
-                if k in out
-            }
-        else:  # scan mode: sequential windows, O(1) activation memory
-            def step(carry, start):
-                idx = start + jnp.arange(w_frames)
-                window = jnp.take(log_mel, idx, axis=1)
-                mel_w, detail_w = window_features(window)
-                o = attention(mel_w, detail_w, emotion,
-                              deterministic=deterministic)
-                return carry, o["blendshapes"]
+            out = attention(
+                mel_w.reshape(b * n, self.window_frames, 80),
+                detail_w.reshape(b * n, 3, 80),
+                jnp.repeat(emotion, n, axis=0),
+                return_attention=return_attention,
+                deterministic=deterministic)
+            raw = jnp.swapaxes(
+                out["blendshapes"].reshape(b, n, -1), 0, 1)  # (n, B, 52)
+            ex = {k: out[k].reshape((b, n) + out[k].shape[1:])
+                  for k in ("mel_attention_weights",
+                            "emotion_attention_weights") if k in out}
+            return raw, ex
 
-            _, raw_seq = jax.lax.scan(
-                step, None, jnp.asarray(starts))     # (n_out, B, 52)
-            extras = {}
+        if self.decode_mode == "parallel" or n_out <= self.window_chunk:
+            raw_seq, extras = decode_windows(starts)
+        else:
+            # chunked: bound activation memory to window_chunk windows per
+            # attention batch (a static Python loop over chunks — flax-safe,
+            # unlike calling the submodule inside a raw lax.scan)
+            raws, chunk_extras = [], []
+            for lo in range(0, n_out, self.window_chunk):
+                r, ex = decode_windows(starts[lo:lo + self.window_chunk])
+                raws.append(r)
+                chunk_extras.append(ex)
+            raw_seq = jnp.concatenate(raws, axis=0)
+            extras = {
+                k: jnp.concatenate([ex[k] for ex in chunk_extras], axis=1)
+                for k in chunk_extras[0]
+            }
 
         # ---- EMA smoothing across windows (associative scan) ----
         raw_alpha = self.param(

@@ -245,7 +245,7 @@ def _formants_from_envelope(env_db: jnp.ndarray, freqs: np.ndarray,
     bw = 2.0 * df * jnp.sqrt(jnp.maximum(2.0 * 3.0 / curv, 0.0))
     has_peak = jnp.take_along_axis(is_peak, idx, axis=-1)
     return (jnp.where(has_peak, f, 0.0), jnp.where(has_peak, bw, 0.0),
-            jnp.where(has_peak, amp, 0.0))
+            jnp.where(has_peak, amp, 0.0), has_peak)
 
 
 def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
@@ -367,10 +367,13 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
     a_re = jnp.einsum("...k,gk->...g", a, jnp.asarray(e_re))
     a_im = jnp.einsum("...k,gk->...g", a, jnp.asarray(e_im))
     env_db = -10.0 * jnp.log10(a_re * a_re + a_im * a_im + 1e-10)
-    fmt_f, fmt_bw, fmt_amp = _formants_from_envelope(env_db, grid)
-    # amplitude relative to H1 (log-rel-F0)
-    fmt_rel = jnp.where(voiced[..., None], fmt_amp - h1[..., None], 0.0)
-    h1_a3 = jnp.where(voiced, h1 - fmt_amp[..., 2], 0.0)
+    fmt_f, fmt_bw, fmt_amp, fmt_valid = _formants_from_envelope(env_db, grid)
+    # amplitude relative to H1 (log-rel-F0); frames missing the formant are
+    # zeroed AND excluded from the functionals via formant_valid
+    fmt_rel = jnp.where(voiced[..., None] & fmt_valid,
+                        fmt_amp - h1[..., None], 0.0)
+    h1_a3 = jnp.where(voiced & fmt_valid[..., 2],
+                      h1 - fmt_amp[..., 2], 0.0)
 
     return {
         "f0_semitone": f0_semitone, "voiced": voiced, "f0_hz": f0,
@@ -380,6 +383,7 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
         "slope_0_500": slope_0_500, "slope_500_1500": slope_500_1500,
         "spectral_flux": flux, "mfcc": mfcc,
         "formant_freq": fmt_f, "formant_bw": fmt_bw, "formant_rel": fmt_rel,
+        "formant_valid": fmt_valid,
         "frame_power": amp * amp,
     }
 
@@ -436,15 +440,21 @@ def functionals_from_llds(
               _stddev_norm(lld["jitter"], voiced)]
     # loudness (10) — over all frames (sma3, not nz)
     feats += contour_functionals(lld["loudness"], all_mask)
-    # shimmer (2), HNR (2), H1-H2 (2), H1-A3 (2)
-    for key in ("shimmer_db", "hnr_db", "h1_h2", "h1_a3"):
+    # shimmer (2), HNR (2), H1-H2 (2)
+    for key in ("shimmer_db", "hnr_db", "h1_h2"):
         feats += [_masked_mean(lld[key], voiced),
                   _stddev_norm(lld[key], voiced)]
-    # formants (18): freq/bw/amp-rel x mean/stddevNorm x 3
+    # H1-A3 (2): only frames where F3 exists
+    h1a3_mask = voiced & lld["formant_valid"][..., 2]
+    feats += [_masked_mean(lld["h1_a3"], h1a3_mask),
+              _stddev_norm(lld["h1_a3"], h1a3_mask)]
+    # formants (18): freq/bw/amp-rel x mean/stddevNorm x 3 — frames missing
+    # formant i are excluded, not counted as zeros
     for i in range(3):
+        fmask = voiced & lld["formant_valid"][..., i]
         for arr in (lld["formant_freq"][..., i], lld["formant_bw"][..., i],
                     lld["formant_rel"][..., i]):
-            feats += [_masked_mean(arr, voiced), _stddev_norm(arr, voiced)]
+            feats += [_masked_mean(arr, fmask), _stddev_norm(arr, fmask)]
     # voiced spectral (18): alpha, hammarberg, slopes, flux, mfcc1-4
     v_spectral = [lld["alpha_ratio"], lld["hammarberg"], lld["slope_0_500"],
                   lld["slope_500_1500"], lld["spectral_flux"],

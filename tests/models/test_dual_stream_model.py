@@ -124,16 +124,30 @@ class TestSequentialDualStream:
         assert bs.min() >= 0.0 and bs.max() <= 1.0
         assert out["fps"] == 30
 
-    def test_parallel_equals_scan(self, audio_batch):
+    def test_parallel_equals_chunked(self, audio_batch):
         mod_p, params = self._make(decode_mode="parallel")
         mod_s = SequentialDualStreamModel(
             dropout=0.0, emotion_backend="basic",
             mel_sequence_length=self.WINDOW, stride_frames=4,
-            decode_mode="scan")
+            decode_mode="chunked", window_chunk=2)  # force real chunking
         audio = audio_batch[:1, : 2 * SR]
         out_p = np.asarray(mod_p.apply(params, audio)["blendshapes"])
         out_s = np.asarray(mod_s.apply(params, audio)["blendshapes"])
         np.testing.assert_allclose(out_p, out_s, rtol=1e-4, atol=1e-5)
+
+    def test_chunked_init_and_attention(self, audio_batch):
+        """Chunked mode must init directly (the old raw-lax.scan mode
+        crashed flax init) and return attention weights."""
+        import jax
+        mod = SequentialDualStreamModel(
+            dropout=0.0, emotion_backend="basic",
+            mel_sequence_length=self.WINDOW, stride_frames=4,
+            decode_mode="chunked", window_chunk=2)
+        audio = audio_batch[:1, : 2 * SR]
+        params = jax.jit(mod.init)(jax.random.PRNGKey(0), audio)
+        out = mod.apply(params, audio, return_attention=True)
+        n_out = out["blendshapes"].shape[1]
+        assert out["mel_attention_weights"].shape[:2] == (1, n_out)
 
     def test_smoothing_reduces_jitter(self, audio_batch):
         """Smoothed sequence has lower frame-to-frame variation than raw."""
