@@ -43,7 +43,8 @@ def main() -> int:
     p.add_argument("--emotion-backend", default="egemaps",
                    choices=["egemaps", "basic"])
     p.add_argument("--decode-mode", default="parallel",
-                   choices=["parallel", "scan"])
+                   choices=["parallel", "chunked", "scan"],
+                   help="'scan' is a legacy alias for 'chunked'")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO,
