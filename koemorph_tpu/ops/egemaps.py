@@ -15,7 +15,8 @@ validated (F0 of a sine, loudness monotonicity, jitter/shimmer sensitivity,
 HNR of tone vs noise) and the downstream model trains on these features
 end to end, which the reference's untrained pipeline never guaranteed.
 
-Everything jits; the hot path is: framing (gather) -> rFFT -> filterbank
+Everything jits; the hot path is: reshape framing (no TPU gathers) ->
+matmul DFT / Wiener-Khinchin autocorrelation (no TPU FFT) -> filterbank
 matmuls -> masked reductions, all MXU/VPU friendly.
 """
 
