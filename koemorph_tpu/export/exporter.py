@@ -111,12 +111,18 @@ def export_tflite(
     if fn is not None:
         interp = tf.lite.Interpreter(model_content=blob)
         runner = interp.get_signature_runner("serving_default")
-        input_names = list(runner.get_input_details().keys())
+        # bind positionally by the numeric suffix of jax2tf's generated
+        # names (args_0..args_N / output_0..output_N) — dict order is not
+        # guaranteed and lexicographic order misbinds past 10 tensors
+        input_names = sorted(runner.get_input_details().keys(),
+                             key=_name_index)
+        output_names = sorted(runner.get_output_details().keys(),
+                              key=_name_index)
 
         def tflite_fn(*args):
             out = runner(**{n: np.asarray(a) for n, a in
                             zip(input_names, args)})
-            vals = list(out.values())
+            vals = [out[n] for n in output_names]
             return vals[0] if len(vals) == 1 else tuple(vals)
 
         diff = _max_diff(fn, tflite_fn, example_args)
@@ -130,6 +136,12 @@ def export_tflite(
         size_bytes=len(blob))
 
 
+def _name_index(name: str) -> tuple:
+    """Sort key for jax2tf tensor names: numeric suffix when present."""
+    tail = name.rsplit("_", 1)[-1]
+    return (0, int(tail)) if tail.isdigit() else (1, name)
+
+
 def _flatten(out) -> list[np.ndarray]:
     # bool leaves (e.g. EMA `initialized` state) compare as floats
     return [np.asarray(x, dtype=np.float64)
@@ -139,6 +151,10 @@ def _flatten(out) -> list[np.ndarray]:
 def _max_diff(fn_a: Callable, fn_b: Callable, args: Sequence) -> float:
     a = _flatten(fn_a(*args))
     b = _flatten(fn_b(*args))
+    if len(a) != len(b):
+        raise ValueError(
+            f"Output leaf count mismatch: {len(a)} vs {len(b)} — parity "
+            "comparison would silently truncate")
     return float(max(np.max(np.abs(x - y)) for x, y in zip(a, b)))
 
 
@@ -152,7 +168,7 @@ def benchmark_fn(fn: Callable, args: Sequence, *, warmup: int = 10,
                  iters: int = 100) -> dict:
     """Warmup + timed latency harness (reference export_model.py:329-377;
     cuda.synchronize becomes block_until_ready)."""
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):   # at least one call compiles fn
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -152,7 +152,12 @@ def egemaps_to_emotion(features: np.ndarray) -> dict[str, float]:
     hnr = f[24]
 
     arousal = 0.0
-    if f0_std > 20 and loud_std > 5:
+    # f[1]/f[13] are stddevNorm (coefficient of variation, std/|mean|), not
+    # raw std — the reference compared CV against raw-std thresholds, making
+    # its high-arousal branches unreachable (fix-forward: CV-scale
+    # thresholds; expressive speech has F0-semitone CV ~0.05-0.15 and
+    # loudness CV ~0.3-0.8)
+    if f0_std > 0.06 and loud_std > 0.25:
         arousal += 0.4
     if jitter > 0.005 or shimmer > 0.05:
         arousal += 0.3
@@ -184,9 +189,10 @@ def egemaps_to_expression_blendshapes(features: np.ndarray) -> np.ndarray:
         return weights
     f0_mean, f0_std = f[0], f[1]
     loud_mean, loud_std = f[12], f[13]
-    f0_var_norm = float(np.clip(f0_std / 10.0, 0, 1))
+    # stddevNorm (CV) scaling — see egemaps_to_emotion note
+    f0_var_norm = float(np.clip(f0_std / 0.15, 0, 1))
     energy_norm = float(np.clip(loud_mean / 2.0, 0, 1))
-    energy_var_norm = float(np.clip(loud_std / 1.0, 0, 1))
+    energy_var_norm = float(np.clip(loud_std / 0.5, 0, 1))
 
     def setw(name, value):
         weights[ARKIT_BLENDSHAPES.index(name)] = max(0.0, value)
@@ -309,26 +315,42 @@ class EmotionExtractor:
             self._get_backend_name(), audio_shape=audio_np.shape,
             batch_size=b)
 
-        embeddings, predictions, blendshapes = [], [], []
-        for i in range(b):
-            sample = audio_np[i]
-            cached = self._load_from_cache(sample)
-            if cached is not None:
-                self.extraction_stats["cache_hits"] += 1
-                result = cached
-            else:
-                result = self._extract_one(sample)
-                if result is not None:
-                    self._save_to_cache(sample, result)
-            if result is None:
-                embeddings.append(
-                    np.zeros(self.feature_dim, dtype=np.float32))
-                predictions.append({})
-                blendshapes.append(np.zeros(52, dtype=np.float32))
-            else:
-                embeddings.append(result["embeddings"])
-                predictions.append(result["predictions"])
-                blendshapes.append(result["blendshape_weights"])
+        def run_batch():
+            embeddings, predictions, blendshapes = [], [], []
+            for i in range(b):
+                sample = audio_np[i]
+                cached = self._load_from_cache(sample)
+                if cached is not None and \
+                        len(cached["embeddings"]) == self.feature_dim:
+                    self.extraction_stats["cache_hits"] += 1
+                    result = cached
+                else:
+                    result = self._extract_one(sample)
+                    if result is not None:
+                        self._save_to_cache(sample, result)
+                if result is None:
+                    embeddings.append(
+                        np.zeros(self.feature_dim, dtype=np.float32))
+                    predictions.append({})
+                    blendshapes.append(np.zeros(52, dtype=np.float32))
+                else:
+                    embeddings.append(result["embeddings"])
+                    predictions.append(result["predictions"])
+                    blendshapes.append(result["blendshape_weights"])
+            return embeddings, predictions, blendshapes
+
+        try:
+            level_before = self.fallback_level
+            embeddings, predictions, blendshapes = run_batch()
+            if self.fallback_level != level_before:
+                # runtime demotion mid-batch changed the embedding dim;
+                # redo the whole batch at the settled level so the stacked
+                # output is homogeneous
+                embeddings, predictions, blendshapes = run_batch()
+        except Exception:
+            monitor.log_processing_end(token, success=False,
+                                       error="batch extraction failed")
+            raise
 
         out = {
             "metadata": {
@@ -402,7 +424,10 @@ class EmotionExtractor:
     def _cache_path(self, audio: np.ndarray) -> Optional[Path]:
         if not self.enable_caching:
             return None
-        h = hash(audio.tobytes())
+        import hashlib
+        # stable content hash: Python's hash() is salted per process, which
+        # would give the on-disk cache a 0% cross-run hit rate
+        h = hashlib.sha1(np.ascontiguousarray(audio).tobytes()).hexdigest()
         return self.cache_dir / f"emotion_{h}.pkl"
 
     def _load_from_cache(self, audio: np.ndarray) -> Optional[dict]:

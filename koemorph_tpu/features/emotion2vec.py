@@ -115,8 +115,11 @@ class Emotion2VecCache:
         self.misses = 0
 
     @staticmethod
-    def compute_audio_hash(audio: np.ndarray) -> int:
-        return hash(np.ascontiguousarray(audio).tobytes())
+    def compute_audio_hash(audio: np.ndarray) -> str:
+        import hashlib
+        # stable content hash (Python's hash() is salted per process)
+        return hashlib.sha1(
+            np.ascontiguousarray(audio).tobytes()).hexdigest()
 
     def get(self, audio: np.ndarray) -> Optional[np.ndarray]:
         key = self.compute_audio_hash(audio)

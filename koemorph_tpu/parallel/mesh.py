@@ -85,7 +85,11 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
              if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0}
     if not sizes:
         return batch, 0
-    (b,) = sizes if len(sizes) == 1 else (max(sizes),)
+    if len(sizes) > 1:
+        raise ValueError(
+            f"Heterogeneous leading dims in batch: {sorted(sizes)}; "
+            "padding would corrupt sample alignment")
+    (b,) = sizes
     pad = (-b) % multiple
     if pad == 0:
         return batch, b

@@ -211,12 +211,12 @@ def _compose(path: Path, config_dir: Path, group_key: Optional[str],
         group_dir = config_dir / key
         sub = _compose(group_dir / f"{name}.yaml", config_dir, key,
                        overrides_groups)
-        target = merged
-        if is_override or True:
-            # group configs land under their group key (hydra default
-            # behavior with config groups)
-            target = merged.setdefault(key, {})
-        merge(target, sub)
+        if is_override:
+            # hydra 'override group:' semantics: REPLACE the previous
+            # selection, don't layer on top of it
+            merged[key] = {}
+        # group configs land under their group key
+        merge(merged.setdefault(key, {}), sub)
     if not self_merged:
         merge(merged, raw)
     return merged
@@ -244,13 +244,12 @@ def apply_overrides(cfg: dict, overrides: Iterable[str],
         key, _, value_text = ov.partition("=")
         key = key.strip()
         value = _parse_value(value_text.strip())
-        # group swap: `model=dual_stream` with a configs dir available
+        # group swaps (`model=dual_stream`) are composition-time concerns:
+        # load_config already routed them into _compose, preserving the
+        # root config's inline customizations for the group — skip here
         if config_dir is not None and "." not in key and \
                 isinstance(value, str) and \
                 (config_dir / key / f"{value}.yaml").exists():
-            group_cfg = _compose(config_dir / key / f"{value}.yaml",
-                                 config_dir, key, {})
-            cfg[key] = group_cfg
             continue
         node = cfg
         parts = key.split(".")

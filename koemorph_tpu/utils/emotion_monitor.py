@@ -147,6 +147,8 @@ class EmotionProcessingMonitor:
     def generate_report(self, save_path: Optional[str] = None) -> str:
         """Markdown report (reference emotion_monitor.py:280-343)."""
         s = self.get_statistics()
+        with self._lock:
+            recent_fallbacks = list(self.fallback_events)[-20:]
         lines = [
             "# Emotion Processing Report",
             "",
@@ -165,9 +167,9 @@ class EmotionProcessingMonitor:
                 f"| {b} | {bs['count']} | {bs['avg_ms']:.2f} | "
                 f"{bs['p50_ms']:.2f} | {bs['p95_ms']:.2f} | "
                 f"{bs['max_ms']:.2f} |")
-        if self.fallback_events:
+        if recent_fallbacks:
             lines += ["", "## Fallback events", ""]
-            for e in self.fallback_events[-20:]:
+            for e in recent_fallbacks:
                 lines.append(f"- {e['from']} -> {e['to']}: {e['reason']}")
         report = "\n".join(lines) + "\n"
         if save_path is None:
@@ -189,13 +191,13 @@ class EmotionProcessingMonitor:
             return None
         with self._lock:
             recs = list(self.history)
+            counts = dict(self.backend_counts)
         if not recs:
             return None
         fig, axes = plt.subplots(1, 2, figsize=(10, 4))
         axes[0].plot([r["duration_ms"] for r in recs])
         axes[0].set_title("extraction latency (ms)")
         axes[0].set_xlabel("extraction #")
-        counts = self.backend_counts
         axes[1].bar(list(counts.keys()), list(counts.values()))
         axes[1].set_title("extractions by backend")
         out = Path(save_dir or self.log_dir) / "performance_metrics.png"

@@ -68,7 +68,7 @@ def benchmark(fn: Callable, args: Sequence = (), *, warmup: int = 10,
               iters: int = 100, reps: int = 3) -> dict:
     """Warmup + best-of-reps timed runs with block_until_ready
     (the TPU analogue of the reference's cuda.synchronize harness)."""
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):   # at least one call so `out` exists
         out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")

@@ -98,10 +98,34 @@ def main() -> int:
             fn=frame_fn, example_args=example))
 
     if args.benchmark:
-        stats = benchmark_fn(jax.jit(frame_fn), example)
-        logger.info("jax latency: %.3f ms", stats["latency_ms"])
+        import time as _time
+        import tensorflow as _tf
+
+        jax_stats = benchmark_fn(jax.jit(frame_fn), example)
+        logger.info("jax latency: %.3f ms", jax_stats["latency_ms"])
+        # measure each exported artifact itself (the reference benchmarked
+        # each engine, export_model.py:329-377)
         for r in reports:
-            r.latency_ms = stats["latency_ms"]
+            if r.format == "saved_model":
+                loaded = _tf.saved_model.load(r.path)
+                for _ in range(5):
+                    loaded.serve(*example)
+                t0 = _time.perf_counter()
+                for _ in range(20):
+                    loaded.serve(*example)
+                r.latency_ms = (_time.perf_counter() - t0) / 20 * 1e3
+            elif r.format == "tflite":
+                interp = _tf.lite.Interpreter(model_path=r.path)
+                runner = interp.get_signature_runner("serving_default")
+                names = sorted(runner.get_input_details().keys())
+                feed = {n: np.asarray(a) for n, a in zip(names, example)}
+                for _ in range(5):
+                    runner(**feed)
+                t0 = _time.perf_counter()
+                for _ in range(20):
+                    runner(**feed)
+                r.latency_ms = (_time.perf_counter() - t0) / 20 * 1e3
+            logger.info("%s latency: %.3f ms", r.format, r.latency_ms)
 
     print(json.dumps([r.as_dict() for r in reports], indent=2))
     return 0 if all(r.passed for r in reports) else 1

@@ -78,3 +78,32 @@ class TestConfigPrimitives:
         p.write_text("a: ${eval:__import__}\n")
         with pytest.raises((ValueError, SyntaxError)):
             load_config(p)
+
+
+class TestOverrideSemantics:
+    def test_group_swap_preserves_root_customizations(self, tmp_path):
+        """A CLI group swap must not discard the root config's inline
+        customizations for that group (reviewed double-apply bug)."""
+        (tmp_path / "model").mkdir()
+        (tmp_path / "model" / "small.yaml").write_text("d: 8\n")
+        (tmp_path / "model" / "large.yaml").write_text("d: 64\n")
+        (tmp_path / "root.yaml").write_text(
+            "defaults:\n  - model: small\n  - _self_\n"
+            "model:\n  dropout: 0.2\n")
+        cfg = load_config(tmp_path / "root.yaml", overrides=["model=large"])
+        assert cfg.model.d == 64
+        assert cfg.model.dropout == pytest.approx(0.2)
+
+    def test_override_entry_replaces_selection(self, tmp_path):
+        """'override group: name' replaces the earlier selection; keys from
+        the discarded option must not leak (hydra semantics)."""
+        (tmp_path / "model").mkdir()
+        (tmp_path / "model" / "small.yaml").write_text(
+            "d: 8\nextra_key: 1\n")
+        (tmp_path / "model" / "large.yaml").write_text("d: 64\n")
+        (tmp_path / "root.yaml").write_text(
+            "defaults:\n  - model: small\n  - override model: large\n"
+            "  - _self_\n")
+        cfg = load_config(tmp_path / "root.yaml")
+        assert cfg.model.d == 64
+        assert "extra_key" not in cfg.model
