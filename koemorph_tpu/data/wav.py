@@ -50,6 +50,7 @@ def read_wav(path: Union[str, Path], *, mono: bool = False,
         body = raw[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif chunk_id == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -58,9 +59,17 @@ def read_wav(path: Union[str, Path], *, mono: bool = False,
         raise ValueError(f"Missing fmt/data chunk in WAV: {path}")
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format == _EXTENSIBLE:
-        # true format lives in the extension; PCM/float are the common cases,
-        # and bits disambiguates well enough for our corpus
-        audio_format = _IEEE_FLOAT if bits in (32, 64) else _PCM
+        # The real format tag is the first two bytes of the SubFormat GUID in
+        # the fmt extension (base fmt 16B + cbSize 2B + validBits 2B +
+        # channelMask 4B -> GUID at offset 24). Guessing from bit depth would
+        # silently decode 32-bit integer PCM as float garbage.
+        if len(fmt_body) < 26:
+            raise ValueError(
+                f"WAVE_FORMAT_EXTENSIBLE with truncated extension: {path}")
+        (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        if audio_format not in (_PCM, _IEEE_FLOAT):
+            raise ValueError(
+                f"Unsupported EXTENSIBLE SubFormat 0x{audio_format:04x}: {path}")
 
     if audio_format == _PCM and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0

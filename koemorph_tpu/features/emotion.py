@@ -340,13 +340,14 @@ class EmotionExtractor:
             return embeddings, predictions, blendshapes
 
         try:
-            level_before = self.fallback_level
-            embeddings, predictions, blendshapes = run_batch()
-            if self.fallback_level != level_before:
-                # runtime demotion mid-batch changed the embedding dim;
-                # redo the whole batch at the settled level so the stacked
-                # output is homogeneous
+            # Runtime demotion mid-batch changes the embedding dim; redo the
+            # whole batch until the level is stable so the stacked output is
+            # homogeneous. The chain has 3 levels, so at most 2 re-runs.
+            for _ in range(3):
+                level_before = self.fallback_level
                 embeddings, predictions, blendshapes = run_batch()
+                if self.fallback_level == level_before:
+                    break
         except Exception:
             monitor.log_processing_end(token, success=False,
                                        error="batch extraction failed")

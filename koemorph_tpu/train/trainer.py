@@ -226,19 +226,27 @@ class Trainer:
         return out
 
     def resume(self) -> bool:
-        """Restore params + bookkeeping from the run's last checkpoint
-        (reference resume_from/checkpoint_path semantics,
-        src/train_sequential.py:487-489). Optimizer state restarts fresh
-        (momentum is cheap to rebuild; the schedule resumes by step)."""
-        restored = self.checkpoints.latest(target=self.state.params)
+        """Restore params + optimizer state + bookkeeping from the run's
+        last checkpoint (reference resume_from/checkpoint_path semantics,
+        src/train_sequential.py:487-489; optimizer/scheduler state saved
+        like src/train.py:300-328). For params-only checkpoints from older
+        runs, the fresh optimizer's schedule counts are fast-forwarded to
+        ``global_step`` so the applied LR still equals
+        ``schedule(global_step)`` (momentum alone restarts)."""
+        restored = self.checkpoints.latest(target=self.state.params,
+                                           opt_target=self.state.opt_state)
         if restored is None:
             return False
-        params, meta = restored
-        self.state = self.state.replace(
-            params=replicate(params, self.mesh))
+        params, opt_state, meta = restored
         self.epoch = int(meta.get("epoch", -1)) + 1
         self.global_step = int(meta.get("global_step", 0))
-        self.state = self.state.replace(step=self.global_step)
+        if opt_state is None:
+            opt_state = _fast_forward_counts(self.state.opt_state,
+                                             self.global_step)
+        self.state = self.state.replace(
+            params=replicate(params, self.mesh),
+            opt_state=replicate(opt_state, self.mesh),
+            step=self.global_step)
         logger.info("resumed from epoch %d (step %d)", self.epoch,
                     self.global_step)
         return True
@@ -272,7 +280,8 @@ class Trainer:
                 val_loss = val_metrics.get("loss")
             self.checkpoints.save(
                 self.state.params, epoch=self.epoch,
-                global_step=self.global_step, val_loss=val_loss)
+                global_step=self.global_step, val_loss=val_loss,
+                opt_state=self.state.opt_state)
             if val_loss is not None:
                 if val_loss < best:
                     best, since_best = val_loss, 0
@@ -337,6 +346,30 @@ def _stream_weight_metrics(mel_w, emo_w) -> dict:
         "stream/mel_on_mouth": jnp.sum(sm_mel[mouth]),
         "stream/emotion_on_expression": jnp.sum(sm_emo[expr]),
     }
+
+
+def _fast_forward_counts(opt_state: Any, step: int) -> Any:
+    """Set every ``count`` field in an optax state tree to ``step`` so
+    embedded schedules (ScaleByScheduleState / ScaleByAdamState counts)
+    resume mid-curve instead of replaying warmup from zero."""
+    def rewrite(node):
+        if hasattr(node, "_fields"):
+            repl = {}
+            for f in node._fields:
+                v = rewrite(getattr(node, f))
+                if f == "count":
+                    v = jnp.asarray(step, dtype=jnp.asarray(v).dtype)
+                repl[f] = v
+            return type(node)(**repl)
+        if isinstance(node, tuple):
+            return tuple(rewrite(x) for x in node)
+        if isinstance(node, list):
+            return [rewrite(x) for x in node]
+        if isinstance(node, dict):
+            return {k: rewrite(v) for k, v in node.items()}
+        return node
+
+    return rewrite(opt_state)
 
 
 def _plain(cfg: Any) -> Any:

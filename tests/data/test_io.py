@@ -76,6 +76,46 @@ class TestWav:
         y = resample_linear(x, SR, 8000)
         assert abs(len(y) - 8000) <= 1
 
+    @staticmethod
+    def _write_extensible(path, payload, *, sub_format, bits, channels=1,
+                          sr=SR):
+        import struct
+        guid = (struct.pack("<H", sub_format)
+                + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa"
+                  b"\x00\x38\x9b\x71")
+        ext = struct.pack("<HI16s", bits, 0, guid)
+        fmt = struct.pack("<HHIIHHH", 0xFFFE, channels, sr,
+                          sr * channels * bits // 8, channels * bits // 8,
+                          bits, len(ext)) + ext
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        path.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body))
+                         + b"WAVE" + body)
+
+    def test_extensible_int32_pcm_decodes_as_pcm(self, tmp_path):
+        """A 32-bit integer PCM EXTENSIBLE WAV must decode via the SubFormat
+        GUID, not be guessed as float32 from bit depth."""
+        x = (np.sin(2 * np.pi * 440 * np.arange(1000) / SR) * 0.5)
+        payload = (x * 2147483647).astype("<i4").tobytes()
+        p = tmp_path / "ext_i32.wav"
+        self._write_extensible(p, payload, sub_format=1, bits=32)
+        y, sr = read_wav(p)
+        assert sr == SR
+        np.testing.assert_allclose(y, x.astype(np.float32), atol=1e-6)
+
+    def test_extensible_float32_decodes_as_float(self, tmp_path):
+        x = np.linspace(-0.9, 0.9, 1000).astype("<f4")
+        p = tmp_path / "ext_f32.wav"
+        self._write_extensible(p, x.tobytes(), sub_format=3, bits=32)
+        y, _ = read_wav(p)
+        np.testing.assert_allclose(y, x, atol=1e-7)
+
+    def test_extensible_unknown_subformat_raises(self, tmp_path):
+        p = tmp_path / "ext_alaw.wav"
+        self._write_extensible(p, b"\x00" * 64, sub_format=6, bits=8)
+        with pytest.raises(ValueError, match="SubFormat"):
+            read_wav(p)
+
 
 class TestARKitDataLoader:
     def test_load_sample(self, tmp_path):

@@ -129,6 +129,44 @@ class TestExtractorChain:
         ex.reset_statistics()
         assert ex.get_statistics()["total_calls"] == 0
 
+    def test_double_demotion_mid_batch_stays_homogeneous(self, monkeypatch):
+        """Two demotions across the batch re-runs (0->1 on the first pass,
+        1->2 during the retry) must still yield a homogeneous embedding
+        stack — the single-retry version crashed in np.stack here."""
+        import koemorph_tpu.features.emotion as emo_mod
+
+        ex = EmotionExtractor(backend="basic", enable_caching=False)
+
+        class FlakyE2V:
+            calls = 0
+
+            def apply(self, params, x):
+                FlakyE2V.calls += 1
+                if FlakyE2V.calls >= 2:
+                    raise RuntimeError("e2v backend lost")
+                return jnp.zeros((1, 4, 1024))
+
+        ex._e2v_module = FlakyE2V()
+        ex._e2v_params = {}
+        ex.fallback_level = 0
+
+        real_emotion_features = emo_mod.emotion_features
+        state = {"egemaps_calls": 0}
+
+        def flaky_egemaps(audio, cfg):
+            state["egemaps_calls"] += 1
+            if state["egemaps_calls"] >= 2:
+                raise RuntimeError("egemaps backend lost")
+            return real_emotion_features(audio, cfg)
+
+        monkeypatch.setattr(emo_mod, "emotion_features", flaky_egemaps)
+
+        res = ex.extract_features(np.stack([sine(secs=0.5),
+                                            sine(110.0, secs=0.5)]))
+        assert ex.fallback_level == 2
+        assert res["embeddings"].shape == (2, BASIC_DIM)
+        assert res["metadata"]["backend_used"] == "basic"
+
 
 class TestEmotion2Vec:
     def test_encoder_shapes(self):

@@ -245,6 +245,92 @@ class TestReviewRegressions:
         best, bmeta = load_checkpoint(tmp_path / "best", target=best_state)
         np.testing.assert_array_equal(best["w"], best_state["w"])
 
+class TestResume:
+    """Full-state resume (reference saves optimizer + scheduler state,
+    src/train.py:300-328): an interrupted run must continue exactly."""
+
+    def _trainer(self, tmp_path):
+        model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
+                                        decoder_hidden=16)
+        cfg = dict(TRAIN_CFG,
+                   lr_scheduler={"name": "cosine", "t_max": 2,
+                                 "eta_min": 1e-6, "warmup_steps": 2})
+        return KoeMorphTrainer(model, {"training": cfg}, audio_samples=1600,
+                               work_dir=tmp_path, steps_per_epoch=2)
+
+    def test_resume_matches_uninterrupted_trajectory(self, tmp_path):
+        import jax
+
+        batches = _synthetic_batches(4, 8, 1600)
+        # uninterrupted: 2 epochs x 2 steps
+        t_full = self._trainer(tmp_path / "full")
+        t_full.fit(lambda e: iter(batches[2 * e: 2 * e + 2]),
+                   lambda: iter(batches[:1]), max_epochs=2)
+
+        # interrupted: 1 epoch, then a brand-new trainer resumes
+        t_a = self._trainer(tmp_path / "split")
+        t_a.fit(lambda e: iter(batches[2 * e: 2 * e + 2]),
+                lambda: iter(batches[:1]), max_epochs=1)
+        t_b = self._trainer(tmp_path / "split")
+        assert t_b.resume()
+        assert t_b.epoch == 1 and t_b.global_step == 2
+        t_b.fit(lambda e: iter(batches[2 * e: 2 * e + 2]),
+                lambda: iter(batches[:1]), max_epochs=2)
+
+        flat_full = jax.tree_util.tree_leaves(t_full.state.params)
+        flat_b = jax.tree_util.tree_leaves(t_b.state.params)
+        for a, b in zip(flat_full, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_resume_restores_momentum(self, tmp_path):
+        import jax
+
+        batches = _synthetic_batches(2, 8, 1600)
+        t_a = self._trainer(tmp_path)
+        t_a.fit(lambda e: iter(batches), lambda: iter(batches[:1]),
+                max_epochs=1)
+        mu_before = [np.asarray(x) for x in
+                     jax.tree_util.tree_leaves(t_a.state.opt_state)]
+        t_b = self._trainer(tmp_path)
+        assert t_b.resume()
+        mu_after = [np.asarray(x) for x in
+                    jax.tree_util.tree_leaves(t_b.state.opt_state)]
+        assert len(mu_before) == len(mu_after)
+        for a, b in zip(mu_before, mu_after):
+            np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_params_only_checkpoint_fast_forwards_schedule(self, tmp_path):
+        """Resuming a legacy params-only checkpoint must not replay warmup:
+        every schedule count in the rebuilt optimizer state equals
+        global_step, so the applied LR == schedule(global_step)."""
+        t_a = self._trainer(tmp_path)
+        # simulate a round-1 checkpoint: params only, no opt_state dir
+        save_checkpoint(tmp_path / "checkpoints" / "last",
+                        t_a.state.params, epoch=4, global_step=10)
+        t_b = self._trainer(tmp_path)
+        assert t_b.resume()
+        assert t_b.global_step == 10
+
+        counts = []
+
+        def collect(node):
+            if hasattr(node, "_fields"):
+                for f in node._fields:
+                    v = getattr(node, f)
+                    if f == "count":
+                        counts.append(int(np.asarray(v)))
+                    else:
+                        collect(v)
+            elif isinstance(node, (tuple, list)):
+                for x in node:
+                    collect(x)
+
+        collect(t_b.state.opt_state)
+        assert counts and all(c == 10 for c in counts)
+
+
+class TestReviewRegressions2:
     def test_fit_passes_epoch_to_loader(self, tmp_path):
         model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
                                         decoder_hidden=16)
