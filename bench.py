@@ -1,24 +1,35 @@
-"""Headline benchmark: per-frame streaming latency / RTF of the production
-dual-stream model on one chip.
+"""Headline benchmark: the metrics of record from BASELINE.json —
+frames/sec/chip + p50/p99 per-frame latency (ms) at 30 and 60 fps, plus
+end-to-end RTF — for the production dual-stream model on one chip.
 
-Reference baseline: RTF ~0.06 at 30 fps on an RTX 3080 (reference
-README.md:316, docs/experimental_results.md:226-229; BASELINE.md).
+Reference baseline: RTF ~0.06 at 30 fps, ~0.08 at 60 fps on an RTX 3080
+(reference README.md:316, docs/experimental_results.md:226-233; BASELINE.md).
 
-Primary metric — the production streaming step (runtime/streaming.py):
-incremental mel row + cond-gated eGeMAPS refresh (300 ms cadence) +
-dual-stream attention + EMA smoothing. N frames run inside ONE lax.scan so
-the measurement is pure device work (no dispatch overhead), and the clock
-stops on a *value fetch* of the result — through a remote-TPU tunnel,
-``block_until_ready`` alone has been observed to return early, so only a
-materialized value is trusted.
+Methodology (all timings are device compute time per frame):
 
-Secondary metric — the full-window recompute step (what the reference does
-every frame: whole 8.5 s mel window + 3-window eGeMAPS + attention,
-SimplifiedDualStreamModel; 6.3 GFLOPs/frame by XLA cost analysis).
+* Each streaming variant runs N frames inside ONE ``lax.scan`` and returns
+  only the last (52,) frame, so a timed call is
+  ``dispatch + N x frame + fetch``. Through a remote-TPU tunnel the
+  dispatch+fetch round trip is ~28 ms — large enough to swamp sub-ms frames —
+  so the RTT is measured directly (best-of-30 trivial dispatch+fetch) and
+  subtracted: ``per_frame = (total - rtt) / N``. Round 1 did not subtract
+  it, overstating every number (BENCH_r01.json).
+* The per-frame latency *distribution* is exact, not sampled: the only
+  data-dependent branch is the eGeMAPS refresh, which fires on a
+  deterministic cadence (every 9th frame at 30 fps). One executable runs
+  with cadence 0 (never refresh -> the p50 frame), cadence 1 (every frame
+  refreshes -> the p99/max frame), and the production cadence (-> mean).
+  With 11% of frames refreshing, p99 IS a refresh frame and p50 a base
+  frame.
+* ``full_window`` is the reference-equivalent recompute (whole 8.5 s mel
+  window + 3-window eGeMAPS + attention each frame,
+  SimplifiedDualStreamModel) — the apples-to-apples number against the
+  RTX 3080's 0.06.
+* ``frames_per_sec_chip`` batch-decodes 8 utterances of 8.53 s with the
+  sequential model on the single available chip.
 
-Prints ONE JSON line:
-    {"metric": "rtf_30fps", "value": ..., "unit": "ratio",
-     "vs_baseline": value / 0.06, ...diagnostics}
+Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
+the diagnostics above.
 """
 
 from __future__ import annotations
@@ -26,87 +37,142 @@ from __future__ import annotations
 import json
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-BASELINE_RTF = 0.06           # RTX 3080, 30 fps enhanced (BASELINE.md)
-FRAME_PERIOD_S = 1.0 / 30.0   # 33.3 ms budget per frame at 30 fps
-N_FRAMES = 300                # 10 s of audio -> 33 emotion refreshes
+from koemorph_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+BASELINE_RTF_30 = 0.06        # RTX 3080, 30 fps enhanced (BASELINE.md)
+BASELINE_RTF_60 = 0.08        # RTX 3080, 60 fps (BASELINE.md)
 
 
-def _timed(fn, *args, reps: int = 3):
-    """Best-of-reps wall time, synchronized by materializing a value."""
+def _fetch(x) -> float:
+    """True synchronization: materialize a value on the host."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def measure_rtt() -> float:
+    """Best-of-30 dispatch+fetch round trip of a trivial program (s)."""
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    x = jnp.zeros((8,), jnp.float32)
+    _fetch(trivial(x))
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(30):
         t0 = time.perf_counter()
-        out = fn(*args)
-        float(np.asarray(out).ravel()[0])   # true sync: value fetch
+        _fetch(trivial(x))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def main() -> None:
-    from koemorph_tpu.models.dual_stream_model import (
-        SimplifiedDualStreamModel, TemporalState)
+def timed_call(fn, *args, rtt: float, reps: int = 3) -> float:
+    """Best-of-reps wall time minus the dispatch/fetch round trip (s)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _fetch(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 0.0)
+
+
+def stream_metrics(params, fps: int, rtt: float, n_frames: int = 600):
+    """p50/p99/mean per-frame ms for the streaming step at ``fps``.
+
+    ``params`` must belong to a model whose mel window matches the fps mode
+    (256 frames at 30 fps, 512 at 60 fps — reference
+    configs/model/dual_stream_60fps.yaml's ``${eval:}`` sizing).
+    """
     from koemorph_tpu.runtime.streaming import (
         StreamingConfig, init_stream_state, stream_frame)
+
+    window = 256 if fps == 30 else 512
+    cadence = max(1, int(round(0.3 * fps)))   # 300 ms refresh interval
+    cfg = StreamingConfig(target_fps=fps, window_frames=window,
+                          emotion_update_frames=cadence)
+    hop = cfg.hop_length
+    rng = np.random.default_rng(0)
+    hops = jnp.asarray(
+        rng.standard_normal((n_frames, hop)).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def run(params, state, hops, update_every):
+        def step(state, hop_audio):
+            out, state = stream_frame(params, state, hop_audio, cfg,
+                                      update_every=update_every)
+            return state, None
+
+        state, _ = jax.lax.scan(step, state, hops)
+        return state.temporal.prev
+
+    state0 = init_stream_state(cfg)
+    t0 = time.perf_counter()
+    _fetch(run(params, state0, hops, jnp.int32(cadence)))
+    compile_s = time.perf_counter() - t0
+
+    per_frame = {}
+    for name, upd in (("mean", cadence), ("p50", 0), ("p99", 1)):
+        total = timed_call(run, params, state0, hops, jnp.int32(upd),
+                           rtt=rtt)
+        per_frame[name] = total / n_frames * 1e3
+    # cadence-0 run never refreshes: that IS the non-refresh (p50) frame;
+    # cadence-1 runs refresh every frame: that IS the refresh (p99/max)
+    # frame. Derived mean cross-checks the measured production-cadence run.
+    return {
+        "p50_ms": per_frame["p50"],
+        "p99_ms": per_frame["p99"],
+        "max_ms": per_frame["p99"],
+        "mean_ms": per_frame["mean"],
+        "refresh_every": cadence,
+        "compile_s": compile_s,
+    }, cfg
+
+
+def main() -> None:
+    from koemorph_tpu.models.dual_stream_model import (
+        SequentialDualStreamModel, SimplifiedDualStreamModel, TemporalState)
+
+    rtt = measure_rtt()
+    rng = np.random.default_rng(0)
+    hop30 = 533
 
     model = SimplifiedDualStreamModel(
         d_model=256, num_heads=8, mel_sequence_length=256,
         emotion_backend="egemaps", use_concatenation=True,
         target_fps=30, dropout=0.0)
-    cfg = StreamingConfig()
-    hop = cfg.hop_length
-    rng = np.random.default_rng(0)
-
     window_audio = jnp.asarray(
-        rng.standard_normal((1, 256 * hop)).astype(np.float32) * 0.1)
+        rng.standard_normal((1, 256 * hop30)).astype(np.float32) * 0.1)
     t0 = time.perf_counter()
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), window_audio,
         TemporalState.create(1))["params"]
+    jax.block_until_ready(params)
     init_s = time.perf_counter() - t0
 
-    # ---- primary: N streaming frames inside one scan ----
-    hops = jnp.asarray(rng.standard_normal(
-        (N_FRAMES, hop)).astype(np.float32) * 0.1)
+    # ---- primary: streaming per-frame latency at 30 fps and 60 fps ----
+    s30, _ = stream_metrics(params, fps=30, rtt=rtt)
 
-    @jax.jit
-    def run_stream(params, state, hops):
-        def step(state, hop_audio):
-            out, state = stream_frame(params, state, hop_audio, cfg)
-            return state, out["blendshapes"]
+    hop60 = 266
+    model60 = SimplifiedDualStreamModel(
+        d_model=256, num_heads=8, mel_sequence_length=512,
+        emotion_backend="egemaps", use_concatenation=True,
+        target_fps=60, dropout=0.0)
+    params60 = jax.jit(model60.init)(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, 512 * hop60), jnp.float32),
+        TemporalState.create(1))["params"]
+    s60, _ = stream_metrics(params60, fps=60, rtt=rtt)
 
-        state, frames = jax.lax.scan(step, state, hops)
-        return frames
-
-    state0 = init_stream_state(cfg)
-    t0 = time.perf_counter()
-    frames = run_stream(params, state0, hops)
-    float(np.asarray(frames).ravel()[0])
-    compile_s = time.perf_counter() - t0
-    stream_total = _timed(run_stream, params, state0, hops)
-    stream_ms = stream_total / N_FRAMES * 1e3
-
-    # ---- secondary: full-window recompute (reference per-frame work) ----
-    @jax.jit
-    def full_window(params, audio, state):
-        out, new_state = model.apply({"params": params}, audio, state,
-                                     deterministic=True)
-        return out["blendshapes"]
-
-    st = TemporalState.create(1)
-    _ = full_window(params, window_audio, st)
-    float(np.asarray(_).ravel()[0])
-
-    n_full = 20
+    # ---- reference-equivalent: full-window recompute every frame ----
+    n_full = 120
 
     @jax.jit
     def run_full(params, audio, state):
         def step(carry, _):
-            # real (numerically negligible) dependency on the previous
-            # output so XLA cannot hoist the body out of the scan
             out, _st = model.apply(
                 {"params": params}, audio + 1e-12 * jnp.mean(carry),
                 state, deterministic=True)
@@ -114,24 +180,66 @@ def main() -> None:
 
         frames, _ = jax.lax.scan(step, jnp.zeros((1, 52)), None,
                                  length=n_full)
-        return frames
+        return frames[-1]
 
-    _ = run_full(params, window_audio, st)
-    float(np.asarray(_).ravel()[0])
-    full_total = _timed(run_full, params, window_audio, st)
-    full_ms = full_total / n_full * 1e3
+    st = TemporalState.create(1)
+    _fetch(run_full(params, window_audio, st))
+    full_ms = timed_call(run_full, params, window_audio, st,
+                         rtt=rtt) / n_full * 1e3
 
-    rtf = stream_ms / 1e3 / FRAME_PERIOD_S
+    # ---- throughput: batched sequential decode, frames/s/chip ----
+    seq_model = SequentialDualStreamModel(
+        d_model=256, num_heads=8, mel_sequence_length=256,
+        emotion_backend="egemaps", use_concatenation=True,
+        target_fps=30, dropout=0.0, stride_frames=4)
+    batch = 8
+    seq_len = 512 * hop30                     # 17 s per utterance
+    audio_b = jnp.asarray(
+        rng.standard_normal((batch, seq_len)).astype(np.float32) * 0.1)
+
+    n_dec = 4   # repeat inside one program so RTT noise is amortized
+
+    @jax.jit
+    def decode(params, audio):
+        def step(carry, _):
+            out = seq_model.apply(
+                {"params": params}, audio + 1e-12 * jnp.mean(carry),
+                deterministic=True)
+            return out["blendshapes"][:, -1], None
+
+        last, _ = jax.lax.scan(step, jnp.zeros((batch, 52)), None,
+                               length=n_dec)
+        return last[0]
+
+    n_out = (512 - seq_model.window_frames) // seq_model.stride_frames + 1
+    _fetch(decode(params, audio_b))
+    dec_s = timed_call(decode, params, audio_b, rtt=rtt) / n_dec
+    frames_per_sec = batch * n_out / dec_s
+
+    rtf30 = s30["mean_ms"] / 1e3 * 30.0
+    rtf60 = s60["mean_ms"] / 1e3 * 60.0
     device = jax.devices()[0]
     print(json.dumps({
         "metric": "rtf_30fps",
-        "value": round(rtf, 6),
+        "value": round(rtf30, 6),
         "unit": "ratio",
-        "vs_baseline": round(rtf / BASELINE_RTF, 4),
-        "stream_ms_per_frame": round(stream_ms, 4),
+        "vs_baseline": round(rtf30 / BASELINE_RTF_30, 4),
+        "stream30_p50_ms": round(s30["p50_ms"], 4),
+        "stream30_p99_ms": round(s30["p99_ms"], 4),
+        "stream30_max_ms": round(s30["max_ms"], 4),
+        "stream30_mean_ms": round(s30["mean_ms"], 4),
+        "rtf_60fps": round(rtf60, 6),
+        "rtf_60fps_vs_baseline": round(rtf60 / BASELINE_RTF_60, 4),
+        "stream60_p50_ms": round(s60["p50_ms"], 4),
+        "stream60_p99_ms": round(s60["p99_ms"], 4),
+        "stream60_mean_ms": round(s60["mean_ms"], 4),
         "full_window_ms_per_frame": round(full_ms, 4),
-        "full_window_rtf": round(full_ms / 1e3 / FRAME_PERIOD_S, 5),
-        "compile_s": round(compile_s, 2),
+        "full_window_rtf": round(full_ms / 1e3 * 30.0, 5),
+        "frames_per_sec_chip": round(frames_per_sec, 1),
+        "batched_decode": {"batch": batch, "frames": batch * n_out,
+                           "seconds": round(dec_s, 4)},
+        "rtt_ms": round(rtt * 1e3, 3),
+        "compile_s": round(s30["compile_s"], 2),
         "init_s": round(init_s, 2),
         "device": f"{device.platform}:{device.device_kind}",
     }))

@@ -189,9 +189,19 @@ def stream_frame(
     state: StreamState,
     hop_audio: jnp.ndarray,      # (hop,) newest samples
     cfg: StreamingConfig,
+    update_every: jnp.ndarray | int | None = None,
 ) -> tuple[dict, StreamState]:
-    """One 33 ms frame: returns ({'blendshapes': (52,), ...}, new state)."""
+    """One 33 ms frame: returns ({'blendshapes': (52,), ...}, new state).
+
+    ``update_every`` overrides ``cfg.emotion_update_frames`` and may be a
+    *traced* value (so one executable serves several refresh cadences —
+    bench.py uses cadence 1 / K / 0 to derive exact per-frame latency
+    quantiles from the deterministic refresh schedule). ``0`` disables the
+    refresh entirely.
+    """
     hop = cfg.hop_length
+    if update_every is None:
+        update_every = cfg.emotion_update_frames
 
     # 1. shift-register audio ring (one contiguous HBM copy)
     ring = jnp.concatenate([state.audio_ring[hop:], hop_audio])
@@ -213,7 +223,10 @@ def stream_frame(
                    - cfg.emotion_margin_samples:]
         return emotion_features(ctx, cfg.emotion_config)
 
-    do_refresh = (state.frame_count % cfg.emotion_update_frames) == 0
+    update_every = jnp.asarray(update_every, jnp.int32)
+    do_refresh = jnp.logical_and(
+        update_every > 0,
+        (state.frame_count % jnp.maximum(update_every, 1)) == 0)
     emotion_raw = jax.lax.cond(do_refresh, refresh,
                                lambda _: state.emotion_raw, None)
 

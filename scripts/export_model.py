@@ -28,6 +28,9 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 import jax                                              # noqa: E402
+
+from koemorph_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()
 import jax.numpy as jnp                                 # noqa: E402
 import numpy as np                                      # noqa: E402
 

@@ -26,6 +26,9 @@ if str(REPO) not in sys.path:
 
 import numpy as np                                      # noqa: E402
 
+from koemorph_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()
+
 logger = logging.getLogger("integration")
 
 
