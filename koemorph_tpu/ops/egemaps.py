@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -119,16 +120,29 @@ def _stddev_norm(x, mask, eps=1e-8):
                                         + eps)
 
 
-def _masked_percentile(x, mask, q: float):
-    """Percentile over masked values (mask True = include)."""
+def _masked_percentiles(x, mask, qs: tuple[float, ...]):
+    """Percentiles over masked values (mask True = include).
+
+    One sort serves all requested quantiles — the contour functionals ask
+    for p20/p50/p80 of the same masked contour, and sorting is the single
+    most expensive VPU op in the functionals pass.
+    """
     big = jnp.asarray(np.inf, x.dtype)
     vals = jnp.where(mask, x, big)
     s = jnp.sort(vals, axis=-1)
     n = jnp.sum(mask, axis=-1)
-    idx = jnp.clip((q * jnp.maximum(n - 1, 0)).astype(jnp.int32), 0,
-                   x.shape[-1] - 1)
-    picked = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
-    return jnp.where(n > 0, picked, 0.0)
+    out = []
+    for q in qs:
+        idx = jnp.clip((q * jnp.maximum(n - 1, 0)).astype(jnp.int32), 0,
+                       x.shape[-1] - 1)
+        picked = jnp.take_along_axis(s, idx[..., None], axis=-1)[..., 0]
+        out.append(jnp.where(n > 0, picked, 0.0))
+    return out
+
+
+def _masked_percentile(x, mask, q: float):
+    """Single percentile over masked values."""
+    return _masked_percentiles(x, mask, (q,))[0]
 
 
 def _slope_stats(x, mask, frame_period: float):
@@ -249,27 +263,126 @@ def _formants_from_envelope(env_db: jnp.ndarray, freqs: np.ndarray,
             jnp.where(has_peak, amp, 0.0), has_peak)
 
 
+class LldCarry(NamedTuple):
+    """Cross-chunk continuity state for the pairwise LLDs (spectral flux,
+    jitter, shimmer), used by :func:`compute_lld_block` so a streaming LLD
+    ring matches the monolithic :func:`compute_llds` at chunk boundaries."""
+
+    prev_mag: jnp.ndarray      # (..., n_bins) previous magnitude spectrum
+    prev_period: jnp.ndarray   # (...,) previous F0 period (s; 0 = unvoiced)
+    prev_voiced: jnp.ndarray   # (...,) bool
+    prev_amp: jnp.ndarray      # (...,) previous frame RMS amplitude
+
+
+def silence_lld_carry(cfg: EgemapsConfig = EgemapsConfig()) -> LldCarry:
+    """Carry representing preceding silence (stream start)."""
+    n_bins = cfg.n_fft // 2 + 1
+    return LldCarry(
+        prev_mag=jnp.full((n_bins,), 1e-10, jnp.float32),
+        prev_period=jnp.zeros((), jnp.float32),
+        prev_voiced=jnp.zeros((), bool),
+        prev_amp=jnp.full((), 1e-6, jnp.float32),
+    )
+
+
+# LLD channels a streaming ring must carry for functionals_from_llds
+# (f0_hz is returned by compute_llds but unused by the functionals).
+LLD_RING_SPEC: tuple[tuple[str, tuple[int, ...], object], ...] = (
+    ("f0_semitone", (), jnp.float32), ("voiced", (), bool),
+    ("jitter", (), jnp.float32), ("loudness", (), jnp.float32),
+    ("shimmer_db", (), jnp.float32), ("hnr_db", (), jnp.float32),
+    ("h1_h2", (), jnp.float32), ("h1_a3", (), jnp.float32),
+    ("alpha_ratio", (), jnp.float32), ("hammarberg", (), jnp.float32),
+    ("slope_0_500", (), jnp.float32), ("slope_500_1500", (), jnp.float32),
+    ("spectral_flux", (), jnp.float32), ("mfcc", (4,), jnp.float32),
+    ("formant_freq", (3,), jnp.float32), ("formant_bw", (3,), jnp.float32),
+    ("formant_rel", (3,), jnp.float32), ("formant_valid", (3,), bool),
+    ("frame_power", (), jnp.float32),
+)
+
+
+def init_lld_ring(rows: int) -> dict[str, jnp.ndarray]:
+    """All-silence LLD ring: zeros, unvoiced, no formants — what the
+    monolithic pipeline produces for zero audio (modulo epsilons)."""
+    return {k: jnp.zeros((rows,) + shape, dtype)
+            for k, shape, dtype in LLD_RING_SPEC}
+
+
+def roll_lld_ring(ring: dict[str, jnp.ndarray],
+                  block: dict[str, jnp.ndarray]) -> dict[str, jnp.ndarray]:
+    """Shift a block of new rows into the ring (newest rows last)."""
+    n_new = block["voiced"].shape[0]
+    return {k: jnp.concatenate([ring[k][n_new:], block[k]], axis=0)
+            for k in ring}
+
+
 def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
                  ) -> dict[str, jnp.ndarray]:
     """Frame-level low-level descriptors of ``audio (..., L)``.
 
-    Returns a dict of (..., T) arrays plus the voiced mask.
+    Returns a dict of (..., T) arrays plus the voiced mask, with
+    ``T = 1 + (L - 512) // hop``. Frames are interior-only (no edge
+    padding), matching OpenSMILE's buffer framing — reflect-padded edge
+    frames were found to inject a large artificial spectral-flux spike at
+    the newest frame of every streaming refresh, inflating the flux
+    functionals the reference never sees (opensmile frames entirely
+    within its AudioBuffer, opensmile_extractor.py:115-153).
     """
-    sr = cfg.sample_rate
-    frames = frame_signal(audio, cfg.frame_length, cfg.hop_length,
-                          center=True)
-    window = hann_window(cfg.frame_length)
-    wframes = frames * window
+    lld, _carry = compute_lld_block(audio, cfg, carry=None)
+    return lld
 
-    # --- F0 / voicing ---
-    f0res = yin_f0(audio, sample_rate=sr, frame_length=512,
-                   hop_length=cfg.hop_length, f0_min=cfg.f0_min,
-                   f0_max=cfg.f0_max)
-    t = min(frames.shape[-2], f0res.f0_hz.shape[-1])
-    f0 = f0res.f0_hz[..., :t]
-    voiced = f0res.voiced_flag[..., :t]
-    wframes = wframes[..., :t, :]
-    frames = frames[..., :t, :]
+
+def compute_lld_block(
+    chunk: jnp.ndarray,
+    cfg: EgemapsConfig = EgemapsConfig(),
+    carry: LldCarry | None = None,
+) -> tuple[dict[str, jnp.ndarray], LldCarry]:
+    """LLD rows for a streaming chunk of real samples (no edge padding).
+
+    ``chunk`` has shape ``(..., (n_new - 1) * hop + 512)``; the result has
+    ``n_new`` rows whose YIN analysis windows tile the chunk at ``hop``
+    spacing, the newest window ending at the chunk end (the 25 ms spectral
+    window is centered inside each 512-sample YIN window). ``carry``
+    supplies the previous frame's state so jitter/shimmer/spectral-flux are
+    seamless across chunks; the returned carry feeds the next call.
+
+    This is the amortization path for the 300 ms eGeMAPS refresh
+    (runtime/streaming.py): instead of recomputing 20 s of LLDs every
+    refresh (the reference recomputes the whole OpenSMILE window,
+    opensmile_extractor.py:460-502), only the new rows are computed and
+    rolled into a device-resident LLD ring; functionals then reduce over
+    the ring.
+    """
+    hop = cfg.hop_length
+    f0res = yin_f0(chunk, sample_rate=cfg.sample_rate, frame_length=512,
+                   hop_length=hop, f0_min=cfg.f0_min, f0_max=cfg.f0_max,
+                   center=False)
+    f0 = f0res.f0_hz
+    voiced = f0res.voiced_flag
+    n_new = f0.shape[-1]
+
+    # 25 ms spectral frames centered inside each YIN window
+    off = (512 - cfg.frame_length) // 2
+    span = (n_new - 1) * hop + cfg.frame_length
+    seg = jax.lax.slice_in_dim(chunk, off, off + span, axis=-1)
+    frames = frame_signal(seg, cfg.frame_length, hop, center=False)
+    wframes = frames * hann_window(cfg.frame_length)
+    return _lld_math(frames, wframes, f0, voiced, cfg, carry=carry)
+
+
+def _lld_math(
+    frames: jnp.ndarray,       # (..., T, frame_length) raw frames
+    wframes: jnp.ndarray,      # (..., T, frame_length) Hann-windowed
+    f0: jnp.ndarray,           # (..., T) Hz, 0 where unvoiced
+    voiced: jnp.ndarray,       # (..., T) bool
+    cfg: EgemapsConfig,
+    carry: LldCarry | None,
+) -> tuple[dict[str, jnp.ndarray], LldCarry]:
+    """Shared LLD math. ``carry=None`` duplicates each pairwise LLD's first
+    frame as its predecessor (zero flux/jitter/shimmer at frame 0 — the
+    monolithic semantics); a :class:`LldCarry` makes chunked computation
+    exactly continuous with the previous chunk."""
+    sr = cfg.sample_rate
 
     f0_semitone = jnp.where(
         f0 > 0, 12.0 * jnp.log2(jnp.maximum(f0, 1e-3) / 27.5), 0.0)
@@ -289,20 +402,36 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
     mel_energy = jnp.matmul(power, fb)
     loudness = jnp.power(jnp.sum(mel_energy, axis=-1) + 1e-10, 0.3)
 
-    # --- jitter (F0 period variation, frame-to-frame proxy) ---
+    # --- pairwise LLD predecessors (carry-aware) ---
     period = jnp.where(f0 > 0, 1.0 / jnp.maximum(f0, 1e-3), 0.0)
-    dperiod = jnp.abs(period[..., 1:] - period[..., :-1])
-    pair_voiced = voiced[..., 1:] & voiced[..., :-1]
+    amp = jnp.sqrt(jnp.mean(frames * frames, axis=-1) + 1e-12)
+    if carry is None:
+        prev_period = period[..., 0]
+        prev_voiced = voiced[..., 0]
+        prev_amp = amp[..., 0]
+        prev_mag = mag[..., 0, :]
+    else:
+        prev_period, prev_voiced, prev_amp, prev_mag = (
+            carry.prev_period, carry.prev_voiced, carry.prev_amp,
+            carry.prev_mag)
+    period_prev = jnp.concatenate(
+        [prev_period[..., None], period[..., :-1]], axis=-1)
+    voiced_prev = jnp.concatenate(
+        [prev_voiced[..., None], voiced[..., :-1]], axis=-1)
+    amp_prev = jnp.concatenate([prev_amp[..., None], amp[..., :-1]], axis=-1)
+    mag_prev = jnp.concatenate(
+        [prev_mag[..., None, :], mag[..., :-1, :]], axis=-2)
+    pair_voiced = voiced & voiced_prev
+
+    # --- jitter (F0 period variation, frame-to-frame proxy) ---
+    dperiod = jnp.abs(period - period_prev)
     jitter = jnp.where(
-        pair_voiced, dperiod / jnp.maximum(period[..., 1:], 1e-6), 0.0)
-    jitter = jnp.concatenate([jitter[..., :1] * 0, jitter], axis=-1)
+        pair_voiced, dperiod / jnp.maximum(period, 1e-6), 0.0)
 
     # --- shimmer dB (frame amplitude variation) ---
-    amp = jnp.sqrt(jnp.mean(frames * frames, axis=-1) + 1e-12)
-    shimmer = jnp.abs(20.0 * (jnp.log10(amp[..., 1:] + 1e-9)
-                              - jnp.log10(amp[..., :-1] + 1e-9)))
+    shimmer = jnp.abs(20.0 * (jnp.log10(amp + 1e-9)
+                              - jnp.log10(amp_prev + 1e-9)))
     shimmer = jnp.where(pair_voiced, shimmer, 0.0)
-    shimmer = jnp.concatenate([shimmer[..., :1] * 0, shimmer], axis=-1)
 
     # --- HNR via autocorrelation at the F0 lag ---
     n_hnr_lags = int(np.ceil(sr / max(cfg.f0_min * 0.9, 1.0))) + 2
@@ -347,9 +476,8 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
     slope_500_1500 = slope(500, 1500)
 
     # --- spectral flux ---
-    dmag = mag[..., 1:, :] - mag[..., :-1, :]
+    dmag = mag - mag_prev
     flux = jnp.sum(dmag * dmag, axis=-1)
-    flux = jnp.concatenate([flux[..., :1, ] * 0, flux], axis=-1)
 
     # --- MFCC 1-4 ---
     log_mel = jnp.log(mel_energy + 1e-10)
@@ -376,7 +504,7 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
     h1_a3 = jnp.where(voiced & fmt_valid[..., 2],
                       h1 - fmt_amp[..., 2], 0.0)
 
-    return {
+    lld = {
         "f0_semitone": f0_semitone, "voiced": voiced, "f0_hz": f0,
         "jitter": jitter, "loudness": loudness, "shimmer_db": shimmer,
         "hnr_db": hnr_db, "h1_h2": h1_h2, "h1_a3": h1_a3,
@@ -387,6 +515,10 @@ def compute_llds(audio: jnp.ndarray, cfg: EgemapsConfig = EgemapsConfig()
         "formant_valid": fmt_valid,
         "frame_power": amp * amp,
     }
+    new_carry = LldCarry(
+        prev_mag=mag[..., -1, :], prev_period=period[..., -1],
+        prev_voiced=voiced[..., -1], prev_amp=amp[..., -1])
+    return lld, new_carry
 
 
 # ---------------------------------------------------------------------------
@@ -423,12 +555,8 @@ def functionals_from_llds(
     feats: list[jnp.ndarray] = []
 
     def contour_functionals(x, mask):
-        out = [
-            _masked_mean(x, mask), _stddev_norm(x, mask),
-            _masked_percentile(x, mask, 0.2),
-            _masked_percentile(x, mask, 0.5),
-            _masked_percentile(x, mask, 0.8),
-        ]
+        p20, p50, p80 = _masked_percentiles(x, mask, (0.2, 0.5, 0.8))
+        out = [_masked_mean(x, mask), _stddev_norm(x, mask), p20, p50, p80]
         out.append(out[4] - out[2])  # pctlrange0-2
         mr, sr_, mf, sf = _slope_stats(x, mask, fp)
         out += [mr, sr_, mf, sf]

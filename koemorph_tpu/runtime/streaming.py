@@ -56,6 +56,15 @@ import numpy as np
 from koemorph_tpu.features.emotion import EmotionFrontendConfig, emotion_features
 from koemorph_tpu.models.dual_stream import DualStreamCrossAttention
 from koemorph_tpu.models.dual_stream_model import TemporalState, _ema_step
+from koemorph_tpu.ops.egemaps import (
+    EgemapsConfig,
+    LldCarry,
+    compute_lld_block,
+    functionals_from_llds,
+    init_lld_ring,
+    roll_lld_ring,
+    silence_lld_carry,
+)
 from koemorph_tpu.ops.mel import mel_filterbank
 from koemorph_tpu.ops.stft import dft_matrices
 from koemorph_tpu.ops.window import hann_window
@@ -82,6 +91,13 @@ class StreamingConfig:
     use_concatenation: bool = True
     emotion_context_s: float = 20.0   # emotion audio ring length
     emotion_update_frames: int = 9    # ~300 ms at 30 fps
+    # Incremental eGeMAPS: keep a device-resident LLD ring and, on each
+    # refresh, compute only the LLD rows the refresh interval made
+    # available (~30 rows at 10 ms hop) instead of re-deriving 20 s of
+    # LLDs; functionals then reduce over the ring. ~3x cheaper refresh
+    # (the reference recomputes its whole OpenSMILE buffer every update,
+    # opensmile_extractor.py:460-502).
+    incremental_lld: bool = True
     # fusion knobs — MUST match the trained model's settings
     use_learnable_weights: bool = True
     fusion_temperature: float = 1.0
@@ -111,6 +127,35 @@ class StreamingConfig:
             backend=self.emotion_backend,
             use_concatenation=self.use_concatenation,
             sample_rate=self.sample_rate)
+
+    # ---- incremental-LLD geometry (all static) ----
+
+    @property
+    def use_lld_ring(self) -> bool:
+        return self.incremental_lld and self.emotion_backend == "egemaps"
+
+    @property
+    def egemaps_config(self) -> EgemapsConfig:
+        return EgemapsConfig(sample_rate=self.sample_rate)
+
+    @property
+    def lld_ring_rows(self) -> int:
+        """LLD rows covering the emotion audio ring (10 ms hop)."""
+        return self.emotion_ring_len // self.egemaps_config.hop_length
+
+    @property
+    def lld_block_rows(self) -> int:
+        """New LLD rows per refresh: the refresh interval in LLD hops.
+
+        The refresh interval (emotion_update_frames * hop_length samples)
+        is generally not an exact multiple of the 10 ms LLD hop, so the
+        effective row spacing across refresh boundaries drifts by a few
+        samples (<0.2 ms per 300 ms block) — irrelevant to 20 s window
+        statistics, and still seamless for the pairwise LLDs thanks to
+        :class:`~koemorph_tpu.ops.egemaps.LldCarry`.
+        """
+        interval = self.emotion_update_frames * self.hop_length
+        return max(1, int(round(interval / self.egemaps_config.hop_length)))
 
     @property
     def attention(self) -> DualStreamCrossAttention:
@@ -148,10 +193,17 @@ class StreamState:
     emotion_raw: jnp.ndarray    # (D_raw,) cached raw emotion features
     frame_count: jnp.ndarray    # () int32
     temporal: TemporalState     # EMA carry (B=1)
+    # incremental-eGeMAPS state (None when cfg.use_lld_ring is False)
+    lld_ring: Optional[dict] = None       # {name: (rows, ...)} newest last
+    lld_carry: Optional[LldCarry] = None  # pairwise-LLD continuity
 
 
 def init_stream_state(cfg: StreamingConfig) -> StreamState:
     raw_dim = cfg.emotion_config.feature_dim
+    lld_ring = lld_carry = None
+    if cfg.use_lld_ring:
+        lld_ring = init_lld_ring(cfg.lld_ring_rows)
+        lld_carry = silence_lld_carry(cfg.egemaps_config)
     return StreamState(
         audio_ring=jnp.zeros((cfg.emotion_ring_len,), jnp.float32),
         mel_db=jnp.full((cfg.window_frames + 1, cfg.n_mels), -100.0,
@@ -159,6 +211,8 @@ def init_stream_state(cfg: StreamingConfig) -> StreamState:
         emotion_raw=jnp.zeros((raw_dim,), jnp.float32),
         frame_count=jnp.zeros((), jnp.int32),
         temporal=TemporalState.create(1),
+        lld_ring=lld_ring,
+        lld_carry=lld_carry,
     )
 
 
@@ -218,17 +272,52 @@ def stream_frame(
 
     # 4. emotion refresh every K frames (lax.cond: heavy branch only runs
     #    on refresh frames)
-    def refresh(_):
-        ctx = ring[-int(cfg.emotion_context_s * cfg.sample_rate)
-                   - cfg.emotion_margin_samples:]
-        return emotion_features(ctx, cfg.emotion_config)
-
     update_every = jnp.asarray(update_every, jnp.int32)
     do_refresh = jnp.logical_and(
         update_every > 0,
         (state.frame_count % jnp.maximum(update_every, 1)) == 0)
-    emotion_raw = jax.lax.cond(do_refresh, refresh,
-                               lambda _: state.emotion_raw, None)
+
+    if cfg.use_lld_ring:
+        # Incremental path: roll only the new LLD rows into the ring, then
+        # reduce functionals over the ring under the 3 offset masks. Block
+        # geometry is fixed by cfg.emotion_update_frames (a traced
+        # update_every override changes WHEN refreshes fire — a bench
+        # knob — not how many rows each refresh rolls).
+        ecfg = cfg.egemaps_config
+        rows = cfg.lld_ring_rows
+        n_block = cfg.lld_block_rows
+        chunk_len = (n_block - 1) * ecfg.hop_length + 512
+
+        def refresh(operand):
+            lld_ring, lld_carry = operand
+            chunk = ring[-chunk_len:]
+            block, carry2 = compute_lld_block(chunk, ecfg, lld_carry)
+            new_ring = roll_lld_ring(lld_ring, block)
+            idx = jnp.arange(rows)
+            fp = ecfg.hop_length / ecfg.sample_rate
+            offsets = (cfg.emotion_config.window_offsets
+                       if cfg.use_concatenation else (0.0,))
+            feats = [
+                functionals_from_llds(
+                    new_ring, ecfg,
+                    frame_mask=idx < rows - int(round(off / fp)))
+                for off in offsets
+            ]
+            return jnp.concatenate(feats, axis=-1), new_ring, carry2
+
+        emotion_raw, lld_ring, lld_carry = jax.lax.cond(
+            do_refresh, refresh,
+            lambda op: (state.emotion_raw, op[0], op[1]),
+            (state.lld_ring, state.lld_carry))
+    else:
+        def refresh(_):
+            ctx = ring[-int(cfg.emotion_context_s * cfg.sample_rate)
+                       - cfg.emotion_margin_samples:]
+            return emotion_features(ctx, cfg.emotion_config)
+
+        emotion_raw = jax.lax.cond(do_refresh, refresh,
+                                   lambda _: state.emotion_raw, None)
+        lld_ring, lld_carry = state.lld_ring, state.lld_carry
 
     # 5. decode: emotion projection (trained Dense) + dual-stream attention
     proj = params["emotion_projection"]
@@ -243,7 +332,8 @@ def stream_frame(
 
     new_state = StreamState(
         audio_ring=ring, mel_db=mel_db, emotion_raw=emotion_raw,
-        frame_count=state.frame_count + 1, temporal=temporal)
+        frame_count=state.frame_count + 1, temporal=temporal,
+        lld_ring=lld_ring, lld_carry=lld_carry)
     result = {"blendshapes": smoothed[0]}
     return result, new_state
 

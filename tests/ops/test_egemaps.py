@@ -138,3 +138,54 @@ class TestLLDs:
         f1_voiced = f1[f1 > 0]
         assert len(f1_voiced) > 0
         assert 300 < np.median(f1_voiced) < 1100
+
+
+class TestLldBlocks:
+    """Chunked LLD computation (the streaming LLD-ring path)."""
+
+    def test_block_split_matches_single_block(self):
+        """Two half-blocks chained by LldCarry == one big block, exactly."""
+        from koemorph_tpu.ops.egemaps import (
+            compute_lld_block, silence_lld_carry)
+
+        cfg = EgemapsConfig()
+        hop = cfg.hop_length
+        rng = np.random.default_rng(7)
+        n_rows = 40
+        t = np.arange((n_rows - 1) * hop + 512) / SR
+        x = (0.4 * np.sin(2 * np.pi * 180 * t)
+             + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+        whole, _ = compute_lld_block(jnp.asarray(x), cfg,
+                                     silence_lld_carry(cfg))
+
+        n1 = 25
+        # chunk boundaries: rows i use samples [i*hop, i*hop + 512)
+        c1 = x[: (n1 - 1) * hop + 512]
+        c2 = x[n1 * hop: (n_rows - 1) * hop + 512]
+        b1, carry = compute_lld_block(jnp.asarray(c1), cfg,
+                                      silence_lld_carry(cfg))
+        b2, _ = compute_lld_block(jnp.asarray(c2), cfg, carry)
+
+        for key in whole:
+            a = np.asarray(whole[key])
+            b = np.concatenate(
+                [np.asarray(b1[key]), np.asarray(b2[key])], axis=0)
+            assert a.shape == b.shape, key
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                       err_msg=key)
+
+    def test_block_rows_and_carry_semantics(self):
+        from koemorph_tpu.ops.egemaps import (
+            compute_lld_block, silence_lld_carry)
+
+        cfg = EgemapsConfig()
+        hop = cfg.hop_length
+        x = jnp.asarray(sine(200.0, secs=(9 * hop + 512) / SR))
+        x = x[: 9 * hop + 512]
+        block, carry = compute_lld_block(x, cfg, silence_lld_carry(cfg))
+        assert block["f0_semitone"].shape[-1] == 10
+        assert carry.prev_mag.shape == (cfg.n_fft // 2 + 1,)
+        # silence carry -> first flux row is the onset (nonzero), matching
+        # a genuine silence-to-tone transition
+        assert float(block["spectral_flux"][0]) > 0.0

@@ -5,6 +5,7 @@ the batch global STFT's interior frames on the same audio — the streaming
 path is a restructuring, not an approximation.
 """
 
+import dataclasses
 import json
 import socket
 
@@ -220,3 +221,92 @@ class TestAudioFileReader:
         c = reader.read()
         assert c is not EOS and len(c) == 533
         assert reader.read() is EOS
+
+
+class TestIncrementalLldRing:
+    """The incremental eGeMAPS path (LLD ring) vs the monolithic refresh."""
+
+    @staticmethod
+    def _speech(seconds: float, sr: int = 16000, seed: int = 3) -> np.ndarray:
+        # continuously voiced (AM never gates to silence): YIN voicing
+        # flips at gating boundaries are a property of the pitch tracker,
+        # not of the ring mechanics under test
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(seconds * sr)) / sr
+        f0 = 150 + 30 * np.sin(2 * np.pi * 0.7 * t)
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        am = 0.75 + 0.25 * np.sin(2 * np.pi * 2.5 * t)
+        return (0.4 * am * (np.sin(phase) + 0.3 * np.sin(2 * phase))
+                + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+    def test_matches_monolithic_functionals(self):
+        """Stream the same audio through both refresh implementations; the
+        264-D emotion vectors must agree closely (the LLD grids differ by a
+        constant sub-hop offset plus <0.2 ms drift per refresh block, so
+        exact equality is not expected — window statistics are)."""
+        cfg_inc = StreamingConfig(
+            window_frames=16, d_model=32, num_heads=2,
+            emotion_backend="egemaps", use_concatenation=True,
+            emotion_context_s=3.0, emotion_update_frames=9,
+            incremental_lld=True)
+        cfg_mono = dataclasses.replace(cfg_inc, incremental_lld=False)
+        params = tiny_params(cfg_inc)
+
+        audio = self._speech(4.5)
+        hop = cfg_inc.hop_length
+        n_frames = len(audio) // hop
+
+        emos = {}
+        for name, cfg in (("inc", cfg_inc), ("mono", cfg_mono)):
+            state = init_stream_state(cfg)
+            step = jax.jit(lambda p, s, a, c=cfg: stream_frame(p, s, a, c))
+            for i in range(n_frames):
+                _, state = step(params, state,
+                                jnp.asarray(audio[i * hop:(i + 1) * hop]))
+            emos[name] = np.asarray(state.emotion_raw)
+
+        inc, mono = emos["inc"], emos["mono"]
+        assert inc.shape == mono.shape == (264,)
+        assert np.isfinite(inc).all() and np.isfinite(mono).all()
+        # The two LLD grids sample the contours at sub-hop-offset positions
+        # (constant ~half-window shift plus <0.2 ms drift per refresh
+        # block), so window statistics agree tightly but are not bit-equal.
+        # stddevNorm features normalize by a mean that can be ~0 on
+        # synthetic tones (e.g. spectral slope of flat harmonics), making a
+        # few of them ill-conditioned; the robust criterion bounds the
+        # distribution and pins the well-conditioned features hard.
+        from koemorph_tpu.ops.egemaps import FEATURE_NAMES
+        scale = np.maximum(np.maximum(np.abs(mono), np.abs(inc)), 1.0)
+        rel = np.abs(inc - mono) / scale
+        assert float(np.median(rel)) < 0.02, float(np.median(rel))
+        assert float(np.percentile(rel, 90)) < 0.15, (
+            float(np.percentile(rel, 90)))
+        stable = np.array([
+            ("amean" in FEATURE_NAMES[i % 88]
+             or "percentile" in FEATURE_NAMES[i % 88]
+             or "pctlrange" in FEATURE_NAMES[i % 88])
+            for i in range(264)])
+        assert float(rel[stable].max()) < 0.1, (
+            int(np.flatnonzero(stable)[np.argmax(rel[stable])]),
+            float(rel[stable].max()))
+
+    def test_refresh_updates_ring_rows(self):
+        cfg = StreamingConfig(
+            window_frames=16, d_model=32, num_heads=2,
+            emotion_backend="egemaps", use_concatenation=True,
+            emotion_context_s=2.0, emotion_update_frames=3,
+            incremental_lld=True)
+        params = tiny_params(cfg)
+        state = init_stream_state(cfg)
+        assert state.lld_ring is not None
+        rows0 = np.asarray(state.lld_ring["loudness"]).copy()
+        step = jax.jit(lambda p, s, a: stream_frame(p, s, a, cfg))
+        audio = self._speech(1.0)
+        hop = cfg.hop_length
+        for i in range(4):
+            _, state = step(params, state,
+                            jnp.asarray(audio[i * hop:(i + 1) * hop]))
+        rows1 = np.asarray(state.lld_ring["loudness"])
+        # newest block rows were refreshed; ring shifted
+        assert not np.allclose(rows0, rows1)
+        assert np.asarray(state.lld_carry.prev_amp) > 0
