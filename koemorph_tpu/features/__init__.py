@@ -7,9 +7,14 @@ from koemorph_tpu.features.emotion import (
     EMOTION_TO_BLENDSHAPE_MAPPING,
     EmotionExtractor,
     EmotionFrontendConfig,
+    PrecomputedEmotionFeatures,
     create_emotion_extractor,
     emotion_features,
     emotion_to_blendshapes,
+)
+from koemorph_tpu.features.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2Encoder,
 )
 from koemorph_tpu.features.emotion2vec import (
     ConvEmotionEncoder,
@@ -33,6 +38,7 @@ __all__ = [
     "BASIC_DIM", "basic_emotion_features",
     "CONCAT_DIM", "EMOTION_TO_BLENDSHAPE_MAPPING",
     "EmotionExtractor", "EmotionFrontendConfig",
+    "PrecomputedEmotionFeatures", "Wav2Vec2Config", "Wav2Vec2Encoder",
     "create_emotion_extractor", "emotion_features",
     "emotion_to_blendshapes",
     "ConvEmotionEncoder", "Emotion2VecCache", "pool_to_fps",

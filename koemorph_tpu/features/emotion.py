@@ -24,6 +24,7 @@ import time
 from pathlib import Path
 from typing import Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -225,6 +226,54 @@ def basic_emotion_heuristic(energy, zcr, f0_mean, f0_std) -> dict[str, float]:
 # host-side wrapper with the reference-compatible API
 # ---------------------------------------------------------------------------
 
+class PrecomputedEmotionFeatures:
+    """1024-D emotion2vec features computed offline and shipped as .npy.
+
+    Files are keyed by the audio content hash
+    (``Emotion2VecCache.compute_audio_hash``), so the extractor can serve
+    exact features for known utterances without the FunASR/transformers
+    stack — the path to use real emotion2vec features in an image without
+    network access (reference extracts them online,
+    emotion_extractor.py:137-174).
+
+    Layout: ``<dir>/<audio_hash>.npy`` each ``(1024,)`` (utterance) or
+    ``(T, 1024)`` (sequence; mean-pooled at lookup).
+    """
+
+    def __init__(self, directory: Union[str, Path]):
+        self.directory = Path(directory)
+        if not self.directory.is_dir():
+            raise FileNotFoundError(
+                f"precomputed emotion feature dir missing: {directory}")
+
+    @staticmethod
+    def save(directory: Union[str, Path], audio: np.ndarray,
+             features: np.ndarray) -> Path:
+        """Record features for an utterance (used by offline exporters)."""
+        from koemorph_tpu.features.emotion2vec import Emotion2VecCache
+
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        key = Emotion2VecCache.compute_audio_hash(
+            np.asarray(audio, np.float32))
+        path = directory / f"{key}.npy"
+        np.save(path, np.asarray(features, np.float32))
+        return path
+
+    def lookup(self, audio: np.ndarray) -> np.ndarray:
+        from koemorph_tpu.features.emotion2vec import Emotion2VecCache
+
+        key = Emotion2VecCache.compute_audio_hash(
+            np.asarray(audio, np.float32))
+        path = self.directory / f"{key}.npy"
+        if not path.exists():
+            raise KeyError(f"no precomputed emotion features for {key}")
+        feats = np.load(path)
+        if feats.ndim == 2:
+            feats = feats.mean(axis=0)
+        return feats.astype(np.float32)
+
+
 class EmotionExtractor:
     """Host-facing extractor with fallback levels, caching, and statistics.
 
@@ -245,6 +294,8 @@ class EmotionExtractor:
         sample_rate: int = 16000,
         emotion2vec_params=None,
         use_concatenation: bool = True,
+        pretrained_path: Optional[Union[str, Path]] = None,
+        precomputed_dir: Optional[Union[str, Path]] = None,
     ):
         self.backend = backend
         self.model_name = model_name
@@ -256,11 +307,37 @@ class EmotionExtractor:
         self.use_concatenation = use_concatenation
         self._e2v_params = emotion2vec_params
         self._e2v_module = None
+        self._precomputed = (
+            PrecomputedEmotionFeatures(precomputed_dir)
+            if precomputed_dir is not None else None)
 
         if backend == "emotion2vec":
-            if emotion2vec_params is not None:
+            if pretrained_path is not None:
+                # real wav2vec2-family weights from a local HF checkpoint
+                # (reference emotion2vec.py:96-122); load failure demotes,
+                # mirroring the reference's import-guard behavior
+                try:
+                    from koemorph_tpu.features.wav2vec2 import (
+                        Wav2Vec2Encoder, load_hf_checkpoint)
+
+                    w2v_cfg, loaded = load_hf_checkpoint(pretrained_path)
+                    self._e2v_module = Wav2Vec2Encoder(
+                        w2v_cfg, use_layer_fusion=True)
+                    self._e2v_params = {"params": jax.tree_util.tree_map(
+                        jnp.asarray, loaded)}
+                    self.fallback_level = 0
+                except Exception as e:
+                    logger.warning(
+                        "pretrained emotion2vec weights unavailable "
+                        "(%s); falling back to on-device eGeMAPS", e)
+                    self.fallback_level = 1
+            elif emotion2vec_params is not None:
                 from koemorph_tpu.features.emotion2vec import ConvEmotionEncoder
                 self._e2v_module = ConvEmotionEncoder()
+                self.fallback_level = 0
+            elif self._precomputed is not None:
+                # 1024-D features computed offline (e.g. by FunASR on a
+                # CPU box) and shipped as .npy files
                 self.fallback_level = 0
             else:
                 logger.info(
@@ -383,9 +460,14 @@ class EmotionExtractor:
                 self.extraction_stats["emotion2vec_calls"] += 1
                 from koemorph_tpu.features.emotion2vec import (
                     pool_to_fps, utterance_embedding)
-                feats = self._e2v_module.apply(
-                    self._e2v_params, jnp.asarray(sample[None]))
-                emb = np.asarray(utterance_embedding(feats))[0]
+                if self._e2v_module is None:
+                    if self._precomputed is None:
+                        raise RuntimeError("no emotion2vec source")
+                    emb = self._precomputed.lookup(sample)
+                else:
+                    feats = self._e2v_module.apply(
+                        self._e2v_params, jnp.asarray(sample[None]))
+                    emb = np.asarray(utterance_embedding(feats))[0]
                 preds = {"neutral": 0.6, **{l: 0.05 for l in
                                             ("happy", "sad", "angry")}}
                 return {"embeddings": emb, "predictions": preds,
