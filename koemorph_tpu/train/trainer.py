@@ -197,15 +197,21 @@ class Trainer:
                         .get("log_every_n_steps", 50))
         collected: list[dict] = []   # device arrays; no host sync per step
         t0 = time.time()
+        image_every = int(self.train_cfg.get("logging", {})
+                          .get("log_images_every_n_steps", 100))
         for batch in loader:
-            self.state, metrics = self._train_step(
-                self.state, self._prepare(batch))
+            prepared = self._prepare(batch)
+            self.state, metrics = self._train_step(self.state, prepared)
             self.global_step += 1
             collected.append(metrics)
+            self._on_step_metrics(batch, metrics)
             if self.global_step % log_every == 0:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["lr"] = float(self._schedule(self.global_step))
                 self._log_scalars("train", host, self.global_step)
+            if image_every and self.global_step % image_every == 0:
+                self._log_attention_images(prepared)
+        self._on_epoch_end()
         if not collected:
             return {}
         logger.info("epoch %d: %d steps in %.1fs", self.epoch,
@@ -309,6 +315,43 @@ class Trainer:
         for k, v in scalars.items():
             if np.isscalar(v) or getattr(v, "ndim", 1) == 0:
                 self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+
+    def _on_step_metrics(self, batch: dict, metrics: dict) -> None:
+        """Per-step hook for subclass bookkeeping (sequence stats)."""
+
+    def _on_epoch_end(self) -> None:
+        """End-of-epoch hook (sequence-stat flush)."""
+
+    def _log_attention_images(self, batch: dict) -> None:
+        """Attention-weight heatmaps to TensorBoard
+        (reference train_sequential.py:355-371: attention/mel and
+        attention/emotion images every 100 steps)."""
+        if self.writer is None:
+            return
+        try:
+            out = self.state.apply_fn(
+                {"params": self.state.params}, batch["audio"][:1],
+                return_attention=True, deterministic=True)
+        except TypeError:   # model without a return_attention path
+            return
+        except Exception as e:  # pragma: no cover - defensive
+            logger.debug("attention image logging skipped: %s", e)
+            return
+        if isinstance(out, tuple):
+            out = out[0]
+        for name, key in (("mel", "mel_attention_weights"),
+                          ("emotion", "emotion_attention_weights")):
+            w = out.get(key)
+            if w is None:
+                continue
+            img = np.asarray(w[0], np.float32)
+            while img.ndim > 2:      # sequential models: (n, Q, K) etc.
+                img = img[-1]
+            peak = float(img.max())
+            if peak > 0:
+                img = img / peak
+            self.writer.add_image(f"attention/{name}", img,
+                                  self.global_step, dataformats="HW")
 
 
 def _mask_padded(pred: jnp.ndarray, target: jnp.ndarray,
@@ -467,6 +510,9 @@ class SequentialTrainer(Trainer):
         if self.span_frames <= model.window_frames:
             self.span_frames = model.window_frames + 32
         self.hop = int(model.sample_rate / model.target_fps)
+        self._seq_losses: list = []
+        self._seq_smoothness: list = []
+        self._seq_file: int = -1
         super().__init__(model, config, **kw)
 
     def init_inputs(self) -> tuple:
@@ -487,4 +533,46 @@ class SequentialTrainer(Trainer):
         attn = params.get("dual_stream_attention", {})
         metrics.update(_stream_weight_metrics(attn.get("mel_weights"),
                                               attn.get("emotion_weights")))
+        if pred_seq.shape[1] > 1:
+            # temporal smoothness of the prediction itself (reference
+            # train_sequential.py:373-410 per-sequence smoothness stats)
+            metrics["smoothness"] = jnp.mean(jnp.abs(
+                pred_seq[:, 1:] - pred_seq[:, :-1]))
         return loss * scale, metrics
+
+    def _on_step_metrics(self, batch: dict, metrics: dict) -> None:
+        """Per-sequence loss statistics at file boundaries (reference
+        train_sequential.py:373-386: sequence/mean_loss, std_loss,
+        loss_trend when the file being consumed changes)."""
+        fi = batch.get("file_idx")
+        if fi is None:
+            return
+        current = int(np.asarray(fi).reshape(-1)[0])
+        if current != self._seq_file and self._seq_losses:
+            self._flush_sequence_stats()
+        self._seq_file = current
+        # device scalars; converted only at the flush boundary
+        self._seq_losses.append(metrics["loss"])
+        if "smoothness" in metrics:
+            self._seq_smoothness.append(metrics["smoothness"])
+
+    def _on_epoch_end(self) -> None:
+        if self._seq_losses:
+            self._flush_sequence_stats()
+        self._seq_file = -1
+
+    def _flush_sequence_stats(self) -> None:
+        losses = np.asarray([float(v) for v in self._seq_losses])
+        self._seq_losses = []
+        smooth = np.asarray([float(v) for v in self._seq_smoothness])
+        self._seq_smoothness = []
+        stats = {
+            "mean_loss": float(losses.mean()),
+            "std_loss": float(losses.std()),
+            "loss_trend": float(np.polyfit(
+                np.arange(len(losses)), losses, 1)[0])
+            if len(losses) > 1 else 0.0,
+        }
+        if smooth.size:
+            stats["smoothness"] = float(smooth.mean())
+        self._log_scalars("sequence", stats, self.global_step)

@@ -345,3 +345,73 @@ class TestReviewRegressions2:
 
         trainer.fit(loader, max_epochs=2)
         assert seen == [0, 1]
+
+
+class FakeWriter:
+    def __init__(self):
+        self.scalars = []
+        self.images = []
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.append((tag, value, step))
+
+    def add_image(self, tag, img, step, dataformats="HW"):
+        self.images.append((tag, np.asarray(img).shape, step, dataformats))
+
+    def close(self):
+        pass
+
+
+class TestObservability:
+    """Attention-image + per-sequence stat logging
+    (reference train_sequential.py:355-410)."""
+
+    def _trainer(self, tmp_path, log_images_every=2):
+        model = SequentialDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="basic", use_concatenation=False,
+            stride_frames=4, target_fps=30)
+        cfg = dict(TRAIN_CFG)
+        cfg["logging"] = {"log_every_n_steps": 1, "tensorboard": False,
+                          "log_images_every_n_steps": log_images_every}
+        trainer = SequentialTrainer(
+            model, {"training": cfg, "data": {"window_frames": 24}},
+            work_dir=tmp_path, steps_per_epoch=1)
+        trainer.writer = FakeWriter()
+        return trainer
+
+    def test_attention_images_logged(self, tmp_path):
+        trainer = self._trainer(tmp_path, log_images_every=2)
+        batches = _synthetic_batches(4, 8, 24 * 533, frames=24,
+                                     key="blendshapes")
+        trainer.train_epoch(iter(batches))
+        tags = [t for t, *_ in trainer.writer.images]
+        assert tags.count("attention/mel") == 2       # steps 2 and 4
+        assert tags.count("attention/emotion") == 2
+        # image is a 2-D heatmap (queries x keys)
+        _, shape, _, fmt = trainer.writer.images[0]
+        assert len(shape) == 2 and fmt == "HW"
+
+    def test_sequence_stats_logged_on_file_change(self, tmp_path):
+        trainer = self._trainer(tmp_path, log_images_every=0)
+        batches = _synthetic_batches(4, 8, 24 * 533, frames=24,
+                                     key="blendshapes")
+        for i, b in enumerate(batches):
+            b["file_idx"] = np.full((8,), i // 2, np.int64)
+        trainer.train_epoch(iter(batches))
+        tags = [t for t, *_ in trainer.writer.scalars]
+        # one flush at the file boundary + one at epoch end
+        assert tags.count("sequence/mean_loss") == 2
+        assert tags.count("sequence/std_loss") == 2
+        assert tags.count("sequence/loss_trend") == 2
+        assert tags.count("sequence/smoothness") == 2
+        vals = {t: v for t, v, _ in trainer.writer.scalars}
+        assert np.isfinite(vals["sequence/mean_loss"])
+
+    def test_smoothness_metric_present(self, tmp_path):
+        trainer = self._trainer(tmp_path, log_images_every=0)
+        batches = _synthetic_batches(1, 8, 24 * 533, frames=24,
+                                     key="blendshapes")
+        metrics = trainer.train_epoch(iter(batches))
+        assert "smoothness" in metrics
+        assert np.isfinite(metrics["smoothness"])
