@@ -97,6 +97,7 @@ class EgemapsStreamingExtractor:
         use_concatenation: bool = True,
         window_intervals: tuple[float, ...] = (0.0, 0.3, 0.6),
         normalize_audio: bool = True,
+        calibrate: bool = False,
     ):
         self.sample_rate = sample_rate
         self.context_window = context_window
@@ -104,6 +105,10 @@ class EgemapsStreamingExtractor:
         self.use_concatenation = use_concatenation
         self.window_intervals = tuple(window_intervals)
         self.normalize_audio = normalize_audio
+        # calibrate=True maps features onto the OpenSMILE scale via the
+        # recorded affine table (scripts/egemaps_goldens.py); the
+        # in-model path stays uncalibrated by design (trained end to end)
+        self.calibrate = calibrate
         margin = max(self.window_intervals) + 2.0
         self.buffer = AudioBuffer(sample_rate, context_window, margin)
         self._cfg = EgemapsConfig(sample_rate=sample_rate)
@@ -130,6 +135,10 @@ class EgemapsStreamingExtractor:
             if peak > 1e-8:
                 audio = audio / peak * 0.95   # reference :427-454
         feats = np.asarray(self._extract(jnp.asarray(audio)))
+        if self.calibrate:
+            from koemorph_tpu.ops.egemaps import apply_calibration
+
+            feats = np.asarray(apply_calibration(jnp.asarray(feats)))
         return np.nan_to_num(feats, nan=0.0, posinf=0.0, neginf=0.0)
 
     def process_audio_frame(self, audio_frame: np.ndarray,

@@ -145,6 +145,42 @@ def _masked_percentile(x, mask, q: float):
     return _masked_percentiles(x, mask, (q,))[0]
 
 
+def _sma3(x, within=None):
+    """3-frame symmetric moving average — the 'sma3' in every eGeMAPS
+    feature name (Eyben et al. 2016 section III-A: all LLDs are smoothed
+    over time with a 3-frame moving average; *nz* contours only within
+    voiced regions). ``within`` restricts the average to masked neighbors
+    and passes unmasked positions through unchanged."""
+    if within is None:
+        m = jnp.ones_like(x, dtype=x.dtype)
+    else:
+        m = jnp.broadcast_to(within, x.shape).astype(x.dtype)
+    xm = x * m
+
+    def left(a):
+        return jnp.concatenate([jnp.zeros_like(a[..., :1]), a[..., :-1]],
+                               axis=-1)
+
+    def right(a):
+        return jnp.concatenate([a[..., 1:], jnp.zeros_like(a[..., :1])],
+                               axis=-1)
+
+    num = left(xm) + xm + right(xm)
+    den = left(m) + m + right(m)
+    sm = num / jnp.maximum(den, 1.0)
+    return jnp.where(m > 0, sm, x)
+
+
+def _majority3(mask):
+    """3-frame majority filter on a boolean contour (de-flickers YIN
+    voicing before segment statistics — the segment-level analog of the
+    sma3 smoothing OpenSMILE applies before voiced-segment detection)."""
+    m = mask.astype(jnp.int32)
+    l_ = jnp.concatenate([m[..., :1], m[..., :-1]], axis=-1)
+    r = jnp.concatenate([m[..., 1:], m[..., -1:]], axis=-1)
+    return (l_ + m + r) >= 2
+
+
 def _slope_stats(x, mask, frame_period: float):
     """Mean/std of rising and falling slopes of the masked contour."""
     dx = (x[..., 1:] - x[..., :-1]) / frame_period
@@ -440,16 +476,33 @@ def _lld_math(
     lag = jnp.clip((sr / jnp.maximum(f0, 1.0)).astype(jnp.int32), 1,
                    acf.shape[-1] - 1)
     r_lag = jnp.take_along_axis(acf, lag[..., None], axis=-1)[..., 0]
-    ratio = jnp.clip(r_lag / r0, 1e-4, 1 - 1e-4)
+    # unbiased normalization: the raw ACF of an N-sample frame at lag tau
+    # sums only N-tau products, biasing r_lag/r0 down by (N-tau)/N — for a
+    # 200 Hz tone in a 25 ms frame that caps HNR at ~6 dB. Scale by
+    # N/(N-tau) so a pure tone saturates the clip (~40 dB) as it should.
+    n_frame = frames.shape[-1]
+    unbias = n_frame / jnp.maximum(
+        n_frame - lag.astype(jnp.float32), 1.0)
+    ratio = jnp.clip(r_lag * unbias / r0, 1e-4, 1 - 1e-4)
     hnr_db = 10.0 * jnp.log10(ratio / (1.0 - ratio))
     hnr_db = jnp.where(voiced, hnr_db, 0.0)
 
     # --- harmonic differences H1-H2, H1-A3 ---
-    h1_bin = jnp.clip((f0 / bin_hz).astype(jnp.int32), 1, n_bins - 1)
-    h2_bin = jnp.clip((2 * f0 / bin_hz).astype(jnp.int32), 1, n_bins - 1)
     mag_db = 20.0 * jnp.log10(mag)
-    h1 = jnp.take_along_axis(mag_db, h1_bin[..., None], axis=-1)[..., 0]
-    h2 = jnp.take_along_axis(mag_db, h2_bin[..., None], axis=-1)[..., 0]
+
+    def harmonic_db(mult):
+        """Peak dB of the harmonic near mult*f0: local max over the
+        nearest bins (flooring the bin index alone reads the leakage
+        skirt and underestimates by up to ~1.5 dB at 512-point DFT)."""
+        center = jnp.clip(jnp.round(mult * f0 / bin_hz).astype(jnp.int32),
+                          1, n_bins - 2)
+        vals = [jnp.take_along_axis(mag_db, jnp.clip(
+            center + d, 0, n_bins - 1)[..., None], axis=-1)[..., 0]
+            for d in (-1, 0, 1)]
+        return jnp.maximum(jnp.maximum(vals[0], vals[1]), vals[2])
+
+    h1 = harmonic_db(1.0)
+    h2 = harmonic_db(2.0)
     h1_h2 = jnp.where(voiced, h1 - h2, 0.0)
 
     # --- band energies for alpha ratio / hammarberg / slopes ---
@@ -543,14 +596,35 @@ def functionals_from_llds(
     masks is how the 3-offset concatenated-eGeMAPS feature is produced in a
     single pass (vs the reference's three OpenSMILE invocations,
     opensmile_extractor.py:460-502)."""
-    voiced = lld["voiced"]
+    raw_voiced = lld["voiced"]
     if frame_mask is not None:
-        voiced = voiced & frame_mask
+        voiced = raw_voiced & frame_mask
         all_mask = jnp.broadcast_to(frame_mask, voiced.shape)
     else:
+        voiced = raw_voiced
         all_mask = jnp.ones_like(voiced)
-    unvoiced = (~lld["voiced"]) & all_mask
+    unvoiced = (~raw_voiced) & all_mask
     fp = cfg.hop_length / cfg.sample_rate  # frame period (s)
+
+    # sma3: smooth every contour before reducing (voiced-only for the
+    # *nz* contours, all-frame for loudness/spectral) — matches the
+    # OpenSMILE preprocessing the feature names advertise
+    nz = lambda key: _sma3(lld[key], within=raw_voiced)  # noqa: E731
+    lld = dict(lld)
+    for key in ("f0_semitone", "jitter", "shimmer_db", "hnr_db",
+                "h1_h2", "h1_a3"):
+        lld[key] = nz(key)
+    for key in ("loudness", "alpha_ratio", "hammarberg", "slope_0_500",
+                "slope_500_1500", "spectral_flux"):
+        lld[key] = _sma3(lld[key])
+    lld["mfcc"] = jnp.swapaxes(_sma3(jnp.swapaxes(lld["mfcc"], -1, -2)),
+                               -1, -2)
+    fmt_within = raw_voiced[..., None, :] & jnp.swapaxes(
+        lld["formant_valid"], -1, -2)
+    for key in ("formant_freq", "formant_bw", "formant_rel"):
+        lld[key] = jnp.swapaxes(
+            _sma3(jnp.swapaxes(lld[key], -1, -2), within=fmt_within),
+            -1, -2)
 
     feats: list[jnp.ndarray] = []
 
@@ -609,8 +683,10 @@ def functionals_from_llds(
     peaks = (loud > l_prev) & (loud >= l_next) & (loud > thresh) & all_mask
     feats += [jnp.sum(peaks, axis=-1) / duration]
 
-    n_v, mean_v, std_v = _segment_stats(voiced, fp)
-    _, mean_uv, std_uv = _segment_stats(unvoiced, fp)
+    seg_voiced = _majority3(raw_voiced) & all_mask
+    n_v, mean_v, std_v = _segment_stats(seg_voiced, fp)
+    _, mean_uv, std_uv = _segment_stats((~_majority3(raw_voiced))
+                                        & all_mask, fp)
     feats += [n_v / duration, mean_v, std_v, mean_uv, std_uv]
 
     eq_level = 10.0 * jnp.log10(
@@ -621,6 +697,48 @@ def functionals_from_llds(
     assert out.shape[-1] == NUM_FEATURES, out.shape
     # OpenSMILE-style NaN/Inf scrub (reference opensmile_extractor.py:449-452)
     return jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+@functools.lru_cache(maxsize=2)
+def load_calibration(path: str | None = None) -> np.ndarray | None:
+    """Per-feature affine calibration fitted against OpenSMILE goldens
+    (scripts/egemaps_goldens.py report --fit-calibration).
+
+    Returns an (88, 2) [scale, offset] array, or None when no
+    calibration file has been recorded. Identity rows are used for
+    features absent from the file.
+    """
+    import json
+    from pathlib import Path
+
+    p = Path(path) if path else (Path(__file__).parent
+                                 / "egemaps_calibration.json")
+    if not p.exists():
+        return None
+    table = json.loads(p.read_text())
+    out = np.tile(np.asarray([1.0, 0.0], np.float32), (NUM_FEATURES, 1))
+    for i, name in enumerate(FEATURE_NAMES):
+        if name in table:
+            out[i] = np.asarray(table[name], np.float32)
+    return out
+
+
+def apply_calibration(feats: jnp.ndarray,
+                      calibration: np.ndarray | None = None
+                      ) -> jnp.ndarray:
+    """Map our functionals onto the OpenSMILE scale: ``a * x + b`` per
+    feature. No-op when no calibration is recorded. The in-model path
+    stays uncalibrated (the downstream projection is trained end to end
+    on our features); this is for consumers expecting OpenSMILE-scaled
+    values from the extractor API."""
+    calib = calibration if calibration is not None else load_calibration()
+    if calib is None:
+        return feats
+    c = jnp.asarray(calib)
+    d = feats.shape[-1]
+    if d % NUM_FEATURES == 0 and d != NUM_FEATURES:
+        c = jnp.tile(c, (d // NUM_FEATURES, 1))
+    return feats * c[:, 0] + c[:, 1]
 
 
 def egemaps_concat_windows(

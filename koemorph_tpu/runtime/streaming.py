@@ -169,9 +169,26 @@ class StreamingConfig:
             temperature=self.fusion_temperature)
 
     @classmethod
-    def from_model(cls, model, **overrides) -> "StreamingConfig":
+    def from_model(cls, model, *, match_training_context: bool = False,
+                   training_span_frames: int | None = None,
+                   **overrides) -> "StreamingConfig":
         """Build a config matching a SimplifiedDualStreamModel's settings
-        (the safe way to avoid train/serve skew in fusion knobs)."""
+        (the safe way to avoid train/serve skew in fusion knobs).
+
+        ``match_training_context=True`` additionally sets
+        ``emotion_context_s`` to the training span length
+        (``training_span_frames``, default the model window), eliminating
+        the emotion-distribution skew between training (eGeMAPS over the
+        training span) and streaming (20 s ring — the reference's
+        production buffer, which inherits the same skew). Keep the 20 s
+        default when long-context emotion matters more than exact
+        train/serve matching.
+        """
+        if match_training_context and "emotion_context_s" not in overrides:
+            span = training_span_frames or model.mel_sequence_length
+            overrides["emotion_context_s"] = (
+                span * int(model.sample_rate / model.target_fps)
+                / model.sample_rate)
         return cls(
             sample_rate=model.sample_rate, target_fps=model.target_fps,
             window_frames=model.mel_sequence_length,

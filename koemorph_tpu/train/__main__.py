@@ -26,30 +26,84 @@ logger = logging.getLogger("koemorph_tpu.train")
 
 def write_synthetic_dataset(out_dir: Path, n_files: int, *,
                             sample_rate: int = 16000, fps: float = 30.0,
-                            duration_s: float = 12.0, seed: int = 0) -> Path:
-    """Speech-like sine+noise WAVs with random [0,1] blendshape JSONL."""
+                            duration_s: float = 12.0, seed: int = 0,
+                            speech_correlated: bool = True) -> Path:
+    """Speech-like WAVs with blendshape JSONL.
+
+    ``speech_correlated=True`` (default) ties the targets to the audio —
+    mouth/jaw coefficients track the per-frame energy envelope and lip
+    shapes follow F0, while expressions drift on slow 'emotion'
+    oscillations — so training has real audio->face structure to learn
+    (the learnability dress-rehearsal the random targets of round 1
+    couldn't provide). ``False`` keeps the old random targets.
+    """
+    from koemorph_tpu.blendshapes import ARKIT_BLENDSHAPES
     from koemorph_tpu.data.wav import write_wav
 
+    name_idx = {n: i for i, n in enumerate(ARKIT_BLENDSHAPES)}
     rng = np.random.default_rng(seed)
     out_dir.mkdir(parents=True, exist_ok=True)
     n = int(duration_s * sample_rate)
     t = np.arange(n) / sample_rate
+    hop = int(sample_rate / fps)
+    frames = int(duration_s * fps)
     for i in range(n_files):
-        f0 = 120 + 60 * rng.random()
-        x = (0.4 * np.sin(2 * np.pi * f0 * t)
-             * (1 + 0.3 * np.sin(2 * np.pi * (2 + rng.random()) * t))
+        f0_base = 110 + 70 * rng.random()
+        f0 = f0_base * (1 + 0.15 * np.sin(2 * np.pi * 0.4 * t
+                                          + rng.uniform(0, 6)))
+        syllable = 0.5 * (1 + np.sin(2 * np.pi * (2 + 1.5 * rng.random())
+                                     * t + rng.uniform(0, 6))) ** 2
+        phase = 2 * np.pi * np.cumsum(f0) / sample_rate
+        voiced = (np.sin(phase) + 0.4 * np.sin(2 * phase)
+                  + 0.15 * np.sin(3 * phase))
+        x = (0.4 * syllable * voiced
              + 0.02 * rng.standard_normal(n)).astype(np.float32)
         write_wav(out_dir / f"synth_{i:03d}.wav", x, sample_rate)
-        frames = int(duration_s * fps)
-        base = rng.uniform(0, 0.6, 52)
+
+        coeffs = np.zeros((frames, 52), np.float32)
+        if speech_correlated:
+            # per-frame energy envelope drives the jaw/mouth
+            energy = np.sqrt(np.add.reduceat(
+                x[: frames * hop].astype(np.float64) ** 2,
+                np.arange(0, frames * hop, hop)) / hop)
+            mouth_drive = np.clip(energy / (energy.max() + 1e-9), 0, 1)
+            # F0 (normalized) shapes pucker/funnel vs stretch
+            f0_frame = f0[np.clip(np.arange(frames) * hop, 0, n - 1)]
+            f0_norm = (f0_frame - f0_frame.min()) / (
+                np.ptp(f0_frame) + 1e-9)
+            coeffs[:, name_idx["jawOpen"]] = 0.12 * mouth_drive
+            for nm in ("mouthLowerDownLeft", "mouthLowerDownRight",
+                       "mouthUpperUpLeft", "mouthUpperUpRight"):
+                coeffs[:, name_idx[nm]] = 0.08 * mouth_drive
+            for nm in ("mouthFunnel", "mouthPucker"):
+                coeffs[:, name_idx[nm]] = 0.06 * mouth_drive * f0_norm
+            for nm in ("mouthStretchLeft", "mouthStretchRight"):
+                coeffs[:, name_idx[nm]] = (0.05 * mouth_drive
+                                           * (1 - f0_norm))
+            # slow 'emotion' drift on a few expression blendshapes
+            k = np.arange(frames)
+            emo_phase = rng.uniform(0, 6)
+            for j, nm in enumerate(("browInnerUp", "browOuterUpLeft",
+                                    "browOuterUpRight", "eyeSquintLeft",
+                                    "eyeSquintRight")):
+                coeffs[:, name_idx[nm]] = 0.05 + 0.04 * np.sin(
+                    2 * np.pi * 0.15 * k / fps + emo_phase + 0.8 * j)
+            # faint noise floor on remaining channels, ARKit-style
+            floor = rng.uniform(0, 0.01, (frames, 52)).astype(np.float32)
+            coeffs = np.clip(coeffs + floor, 0, 1)
+        else:
+            base = rng.uniform(0, 0.6, 52)
+            k = np.arange(frames)[:, None]
+            coeffs = np.clip(
+                base + 0.2 * np.sin(2 * np.pi * 2 * k / fps
+                                    + np.arange(52)), 0, 1
+            ).astype(np.float32)
+
         with open(out_dir / f"synth_{i:03d}.jsonl", "w") as f:
             for k in range(frames):
-                coeffs = np.clip(
-                    base + 0.2 * np.sin(2 * np.pi * 2 * k / fps
-                                        + np.arange(52)), 0, 1)
                 f.write(json.dumps({
                     "timestamp": k / fps,
-                    "blendshapes": coeffs.round(4).tolist()}) + "\n")
+                    "blendshapes": coeffs[k].round(4).tolist()}) + "\n")
     return out_dir
 
 

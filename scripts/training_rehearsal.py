@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Training dress rehearsal: train the PRODUCTION sequential dual-stream
+model on speech-correlated synthetic data, verify it learns real
+audio->face structure, and drive the trained checkpoint through the
+inference + export surfaces.
+
+The reference's published numbers (MAE 0.028, stream specialization —
+docs/experimental_results.md) come from a private corpus this image does
+not have; this rehearsal is the strongest in-image substitute: targets
+are *derived from the audio* (jaw/mouth follow the energy envelope, lips
+follow F0, expressions drift slowly), so a model that learns must be
+using the audio, and MAE/stream-weight curves are meaningful.
+
+Outputs:
+  docs/assets/rehearsal_loss.png        loss + MAE curves
+  docs/assets/rehearsal_streams.png     stream-weight specialization
+  docs/training_report.md               summary, final metrics, CLI log
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import numpy as np                                      # noqa: E402
+
+from koemorph_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+ASSETS = REPO / "docs" / "assets"
+REPORT = REPO / "docs" / "training_report.md"
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work-dir", default="outputs/rehearsal")
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--duration", type=float, default=20.0)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--d-model", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from koemorph_tpu.data.sequential import create_sequential_dataloader
+    from koemorph_tpu.models.dual_stream_model import (
+        SequentialDualStreamModel)
+    from koemorph_tpu.train.__main__ import write_synthetic_dataset
+    from koemorph_tpu.train.trainer import SequentialTrainer
+
+    work = REPO / args.work_dir
+    work.mkdir(parents=True, exist_ok=True)
+    data_dir = write_synthetic_dataset(
+        work / "data", args.files, duration_s=args.duration, seed=7,
+        speech_correlated=True)
+
+    model = SequentialDualStreamModel(
+        d_model=args.d_model, num_heads=8, mel_sequence_length=256,
+        emotion_backend="egemaps", use_concatenation=True,
+        target_fps=30, dropout=0.1, stride_frames=4)
+    span = model.window_frames + 32
+
+    loader_fn, dataset = create_sequential_dataloader(
+        str(data_dir), batch_size=args.batch_size, window_frames=span,
+        stride_frames=64, sample_rate=16000, target_fps=30.0)
+    steps = max(1, dataset.get_num_windows() // args.batch_size)
+
+    tcfg = {
+        "training": {
+            "optimizer": {"name": "adamw", "lr": 5e-4,
+                          "weight_decay": 1e-5},
+            "lr_scheduler": {"name": "cosine", "t_max": args.epochs,
+                             "eta_min": 1e-6},
+            "loss": {"mse_weight": 1.0, "l1_weight": 0.3,
+                     "velocity_weight": 0.1},
+            "gradient_clip_val": 1.0,
+            "max_epochs": args.epochs,
+            "logging": {"log_every_n_steps": 10,
+                        "log_images_every_n_steps": 0},
+        },
+        "data": {"window_frames": span},
+    }
+    trainer = SequentialTrainer(model, tcfg, work_dir=work,
+                                steps_per_epoch=steps, span_frames=span)
+
+    def train_loader(epoch: int):
+        dataset.set_epoch(epoch)
+        return loader_fn()
+
+    t0 = time.time()
+    history = trainer.fit(train_loader, None, max_epochs=args.epochs)
+    train_s = time.time() - t0
+    epochs = history["train"]
+
+    # ---- curves ----
+    ASSETS.mkdir(parents=True, exist_ok=True)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs = np.arange(1, len(epochs) + 1)
+    fig, ax = plt.subplots(1, 2, figsize=(10, 3.6))
+    ax[0].plot(xs, [e["loss"] for e in epochs], marker="o")
+    ax[0].set(title="training loss", xlabel="epoch", ylabel="loss")
+    if "l1" in epochs[0]:
+        ax[1].plot(xs, [e["l1"] for e in epochs], marker="o", color="teal")
+        ax[1].set(title="MAE (L1)", xlabel="epoch", ylabel="MAE")
+    fig.tight_layout()
+    fig.savefig(ASSETS / "rehearsal_loss.png", dpi=110)
+
+    stream_keys = [k for k in epochs[0]
+                   if "stream" in k or "weight" in k]
+    if stream_keys:
+        fig, ax = plt.subplots(figsize=(6.5, 3.6))
+        for k in stream_keys:
+            ax.plot(xs, [e[k] for e in epochs], marker=".", label=k)
+        ax.legend(fontsize=7)
+        ax.set(title="stream-weight specialization", xlabel="epoch")
+        fig.tight_layout()
+        fig.savefig(ASSETS / "rehearsal_streams.png", dpi=110)
+
+    # ---- drive the checkpoint through the CLI surfaces ----
+    ckpt = work / "checkpoints"
+    cli_log = {}
+    wav = next(Path(data_dir).glob("*.wav"))
+
+    def run(name, cmd):
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=900, cwd=REPO)
+        cli_log[name] = {"rc": r.returncode,
+                         "tail": (r.stdout + r.stderr)[-400:]}
+        return r.returncode
+
+    run("infer", [sys.executable, "scripts/infer.py",
+                  "--model", str(ckpt), "--input", str(wav),
+                  "--output", str(work / "infer_out.jsonl"),
+                  "--d-model", str(args.d_model)])
+    run("rt", [sys.executable, "scripts/rt.py",
+               "--model", str(ckpt), "--input", str(wav),
+               "--output", "file",
+               "--output-file", str(work / "rt_out.jsonl"),
+               "--no-realtime", "--d-model", str(args.d_model),
+               "--max-frames", "120"])
+    run("export", [sys.executable, "scripts/export_model.py",
+                   "--model", str(ckpt),
+                   "--output", str(work / "export"),
+                   "--d-model", str(args.d_model),
+                   "--format", "saved_model"])
+
+    first, last = epochs[0], epochs[-1]
+    report = [
+        "# Training dress rehearsal (production sequential model)",
+        "",
+        f"Generated by `scripts/training_rehearsal.py` — "
+        f"{args.files} files x {args.duration:.0f} s speech-correlated "
+        f"synthetic data, SequentialDualStreamModel d={args.d_model}, "
+        f"window 256, stride 4, {args.epochs} epochs x {steps} steps, "
+        f"{train_s:.0f} s wall.",
+        "",
+        "Targets are derived from the audio (mouth follows the energy "
+        "envelope, lips follow F0, expressions drift slowly), so the "
+        "loss/MAE decrease below demonstrates genuine audio->face "
+        "learning through the full production path (on-device mel + "
+        "eGeMAPS, batched window attention, associative-scan EMA).",
+        "",
+        "| metric | first epoch | last epoch |",
+        "|---|---|---|",
+    ]
+    for key in sorted(set(first) & set(last)):
+        report.append(f"| {key} | {float(first[key]):.5f} "
+                      f"| {float(last[key]):.5f} |")
+    report += [
+        "",
+        "![loss](assets/rehearsal_loss.png)",
+        "",
+    ]
+    if stream_keys:
+        report.append("![streams](assets/rehearsal_streams.png)")
+        report.append("")
+    report += ["## Checkpoint driven through the CLI surfaces", ""]
+    for name, res in cli_log.items():
+        status = "ok" if res["rc"] == 0 else f"FAILED rc={res['rc']}"
+        report.append(f"- `{name}`: {status}")
+    report.append("")
+    REPORT.write_text("\n".join(report))
+
+    summary = {
+        "epochs": len(epochs),
+        "loss_first": float(first["loss"]),
+        "loss_last": float(last["loss"]),
+        "mae_last": float(last.get("l1", float("nan"))),
+        "train_seconds": round(train_s, 1),
+        "cli": {k: v["rc"] for k, v in cli_log.items()},
+    }
+    print(json.dumps(summary))
+    ok = (summary["loss_last"] < 0.5 * summary["loss_first"]
+          and all(rc == 0 for rc in summary["cli"].values()))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

