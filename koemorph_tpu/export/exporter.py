@@ -93,15 +93,31 @@ def export_tflite(
     fn: Optional[Callable] = None,
     example_args: Sequence = (),
     verify_threshold: float = 1e-4,
+    quantize: Optional[str] = None,
 ) -> ExportReport:
     """SavedModel -> .tflite flatbuffer; gate at 1e-4 (the reference's ONNX
-    threshold, export_model.py:222-257) when ``fn`` is provided."""
+    threshold, export_model.py:222-257) when ``fn`` is provided.
+
+    ``quantize``: None (float32), ``"dynamic"`` (dynamic-range int8
+    weights — the reference's mobile INT8 story, ~4x smaller,
+    docs/experimental_results.md:201-206), or ``"float16"``. Quantized
+    exports gate at max(verify_threshold, 0.05): blendshapes live in
+    [0, 1], so 0.05 is a visible-artifact bound, not numerical noise.
+    """
+    if quantize not in (None, "dynamic", "float16"):
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+
     import tensorflow as tf
 
     converter = tf.lite.TFLiteConverter.from_saved_model(
         str(saved_model_dir))
     converter.target_spec.supported_ops = [
         tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+    if quantize:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        if quantize == "float16":
+            converter.target_spec.supported_types = [tf.float16]
+        verify_threshold = max(verify_threshold, 0.05)
     blob = converter.convert()
     out_file = Path(out_file)
     out_file.write_bytes(blob)

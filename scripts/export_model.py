@@ -43,6 +43,11 @@ def main() -> int:
     p.add_argument("--output", default="exports")
     p.add_argument("--format", default="saved_model",
                    choices=["saved_model", "tflite", "all"])
+    p.add_argument("--quantize", default=None,
+                   choices=["dynamic", "float16"],
+                   help="TFLite quantization: dynamic-range int8 weights "
+                        "(the reference's mobile INT8 path, ~4x smaller) "
+                        "or float16")
     p.add_argument("--fps", type=int, default=30, choices=[30, 60])
     p.add_argument("--d-model", type=int, default=256)
     p.add_argument("--num-heads", type=int, default=8)
@@ -96,9 +101,10 @@ def main() -> int:
     if args.format in ("saved_model", "all", "tflite"):
         reports.append(export_savedmodel(frame_fn, example, sm_dir))
     if args.format in ("tflite", "all"):
+        suffix = f"_{args.quantize}" if args.quantize else ""
         reports.append(export_tflite(
-            sm_dir, out_dir / "model.tflite",
-            fn=frame_fn, example_args=example))
+            sm_dir, out_dir / f"model{suffix}.tflite",
+            fn=frame_fn, example_args=example, quantize=args.quantize))
 
     if args.benchmark:
         import time as _time

@@ -136,7 +136,7 @@ def main() -> int:
         fig.savefig(ASSETS / "rehearsal_streams.png", dpi=110)
 
     # ---- drive the checkpoint through the CLI surfaces ----
-    ckpt = work / "checkpoints"
+    ckpt = work / "checkpoints" / "last"
     cli_log = {}
     wav = next(Path(data_dir).glob("*.wav"))
 

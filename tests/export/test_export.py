@@ -65,3 +65,47 @@ class TestBenchmark:
         stats = benchmark_fn(jax.jit(fn), example, warmup=2, iters=5)
         assert stats["latency_ms"] > 0
         assert stats["throughput_per_s"] > 0
+
+
+class TestQuantizedTflite:
+    def test_dynamic_range_int8_smaller_and_close(self, tmp_path):
+        """Dynamic-range quantization (the reference's mobile INT8 story,
+        docs/experimental_results.md:201-206): ~4x smaller weights, output
+        deviation bounded at 0.05 on [0,1] blendshapes."""
+        import jax
+        import jax.numpy as jnp
+
+        from koemorph_tpu.export.exporter import (
+            export_savedmodel, export_tflite)
+        from koemorph_tpu.models.dual_stream import DualStreamCrossAttention
+
+        att = DualStreamCrossAttention(
+            d_model=64, num_heads=4, mel_sequence_length=32,
+            emotion_dim=64, dropout=0.0)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.uniform(0, 1, (1, 32, 80)).astype(np.float32))
+        det = jnp.asarray(rng.uniform(0, 1, (1, 3, 80)).astype(np.float32))
+        emo = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32))
+        params = jax.jit(att.init)(jax.random.PRNGKey(0), mel, det, emo)
+
+        def fn(mel, det, emo):
+            return att.apply(params, mel, det, emo,
+                             deterministic=True)["blendshapes"]
+
+        sm = tmp_path / "sm"
+        export_savedmodel(fn, (mel, det, emo), sm)
+        fp32 = export_tflite(sm, tmp_path / "m.tflite", fn=fn,
+                             example_args=(mel, det, emo))
+        q = export_tflite(sm, tmp_path / "m_q.tflite", fn=fn,
+                          example_args=(mel, det, emo),
+                          quantize="dynamic")
+        assert q.passed, q.max_abs_diff
+        assert q.size_bytes < 0.6 * fp32.size_bytes, (
+            q.size_bytes, fp32.size_bytes)
+
+    def test_unknown_quantize_mode_raises(self, tmp_path):
+        from koemorph_tpu.export.exporter import export_tflite
+
+        with pytest.raises(ValueError):
+            export_tflite(tmp_path, tmp_path / "x.tflite",
+                          quantize="int4")
