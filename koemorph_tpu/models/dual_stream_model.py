@@ -42,6 +42,7 @@ import numpy as np
 
 from koemorph_tpu.features.emotion import EmotionFrontendConfig, emotion_features
 from koemorph_tpu.models.dual_stream import DualStreamCrossAttention
+from koemorph_tpu.features.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
 from koemorph_tpu.ops.frontend import LogMelFrontend
 from koemorph_tpu.ops.stft import stft_power
 
@@ -83,12 +84,37 @@ class SimplifiedDualStreamModel(nn.Module):
     target_fps: int = 30
     mel_sequence_length: int = 256
     emotion_backend: str = "egemaps"   # egemaps | basic | precomputed
+    #                                  # | emotion2vec (in-model wav2vec2)
     use_concatenation: bool = True
     dropout: float = 0.1
     smoothing_alpha_init: float = 0.8
     stft_method: str = "matmul"        # matmul | rfft | pallas
     use_learnable_weights: bool = True  # False: hard mouth/expression masks
     fusion_temperature: float = 1.0
+    # emotion2vec backend: wav2vec2 encoder config (a compact trainable
+    # default keeping the 1024-D contract; swap for the checkpoint's
+    # config when loading pretrained weights via
+    # features.wav2vec2.load_hf_checkpoint)
+    emotion2vec_config: "Wav2Vec2Config" = Wav2Vec2Config(
+        hidden_size=1024, num_hidden_layers=2, num_attention_heads=16,
+        intermediate_size=2048)
+
+    def _emotion_from_audio(self, audio: jnp.ndarray,
+                            deterministic: bool = True) -> jnp.ndarray:
+        """Raw emotion features computed inside the jitted forward.
+
+        The emotion2vec branch embeds the wav2vec2 encoder as a trained
+        Flax submodule (the reference runs torch Wav2Vec2 host-side,
+        emotion2vec.py:96-122; here it is on-device and differentiable) —
+        utterance mean pooling keeps the (B, 1024) contract. Other
+        backends use the pure on-device feature functions.
+        """
+        if self.emotion_backend == "emotion2vec":
+            feats = Wav2Vec2Encoder(
+                self.emotion2vec_config, use_layer_fusion=True,
+                name="emotion2vec")(audio, deterministic=deterministic)
+            return jnp.mean(feats, axis=-2)            # (B, hidden)
+        return emotion_features(audio, self.emotion_config)
 
     @property
     def mel_frontend(self) -> LogMelFrontend:
@@ -144,8 +170,8 @@ class SimplifiedDualStreamModel(nn.Module):
         mel, detail = mel_with_temporal_detail(audio, self.mel_frontend)
 
         if emotion_features_raw is None:
-            emotion_features_raw = emotion_features(audio,
-                                                    self.emotion_config)
+            emotion_features_raw = self._emotion_from_audio(
+                audio, deterministic=deterministic)
         emotion = self._project_emotion(emotion_features_raw)
 
         out = self._attention_module()(
@@ -210,6 +236,7 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
     stride_frames: int = 1
     decode_mode: str = "parallel"   # parallel | chunked ("scan" = chunked)
     window_chunk: int = 512         # windows per chunk in chunked mode
+    exact_window_stft: bool = False  # reference-exact window-edge framing
 
     @property
     def window_frames(self) -> int:
@@ -231,21 +258,42 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
 
         # ---- emotion once per sequence ----
         if emotion_features_raw is None:
-            emotion_features_raw = emotion_features(audio,
-                                                    self.emotion_config)
+            emotion_features_raw = self._emotion_from_audio(
+                audio, deterministic=deterministic)
         emotion = self._project_emotion(emotion_features_raw)  # (B, d)
 
-        # ---- global mel power, one STFT ----
+        # ---- mel power ----
         # pad so the last window has a full frame count
         needed = ((n_out - 1) * self.stride_frames + self.window_frames) * hop
         if needed > audio_len:
             audio = jnp.pad(audio, ((0, 0), (0, needed - audio_len)))
         cfg = self.mel_frontend
-        spec = stft_power(audio, n_fft=cfg.n_fft, hop_length=hop,
-                          center=True, power=2.0)           # (B, T+1, bins)
-        mel_power = jnp.matmul(spec, cfg.filterbank(dtype=spec.dtype),
-                               precision="highest")          # (B, T+1, 80)
-        log_mel = 10.0 * jnp.log10(jnp.maximum(mel_power, 1e-10))
+        if self.exact_window_stft:
+            # reference-exact edge semantics: STFT each window separately
+            # with reflect padding at the WINDOW edges
+            # (sequential_dual_stream_model.py:120 recomputes librosa mel
+            # per window). Costs ~window/stride x more STFT FLOPs than
+            # the global path; useful for parity validation and for
+            # serving checkpoints trained by the reference itself.
+            g = jnp.asarray(
+                (np.arange(n_out) * self.stride_frames)[:, None] * hop
+                + np.arange(self.window_frames * hop)[None, :])
+            win_audio = jnp.take(audio, g, axis=1)   # (B, n, W*hop)
+            win_audio = win_audio.reshape(b * n_out,
+                                          self.window_frames * hop)
+            spec_w = stft_power(win_audio, n_fft=cfg.n_fft,
+                                hop_length=hop, center=True, power=2.0)
+            melp = jnp.matmul(spec_w, cfg.filterbank(dtype=spec_w.dtype),
+                              precision="highest")   # (B*n, W+1, 80)
+            win_db = 10.0 * jnp.log10(jnp.maximum(melp, 1e-10))
+            log_mel = win_db.reshape(b, n_out, self.window_frames + 1, 80)
+        else:
+            # ---- global mel power, one STFT ----
+            spec = stft_power(audio, n_fft=cfg.n_fft, hop_length=hop,
+                              center=True, power=2.0)    # (B, T+1, bins)
+            mel_power = jnp.matmul(spec, cfg.filterbank(dtype=spec.dtype),
+                                   precision="highest")   # (B, T+1, 80)
+            log_mel = 10.0 * jnp.log10(jnp.maximum(mel_power, 1e-10))
 
         # ---- gather windows of 257 frames, normalize per window ----
         w_frames = self.window_frames + 1  # librosa yields W+1 centered frames
@@ -263,9 +311,14 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
             """Decode the windows starting at these frame indices in one
             parallel batch; returns (raw (n, B, 52), extras)."""
             n = len(start_idx)
-            g = jnp.asarray(start_idx[:, None]
-                            + np.arange(w_frames)[None, :])
-            windows = jnp.take(log_mel, g, axis=1)        # (B,n,257,80)
+            if self.exact_window_stft:
+                # per-window dB already materialized as (B, n_out, W+1, 80)
+                sel = (start_idx // self.stride_frames).astype(np.int32)
+                windows = jnp.take(log_mel, jnp.asarray(sel), axis=1)
+            else:
+                g = jnp.asarray(start_idx[:, None]
+                                + np.arange(w_frames)[None, :])
+                windows = jnp.take(log_mel, g, axis=1)    # (B,n,257,80)
             mel_w, detail_w = window_features(windows)
             out = attention(
                 mel_w.reshape(b * n, self.window_frames, 80),

@@ -192,3 +192,47 @@ class TestSequentialDualStream:
         out = mod.apply(params, audio, return_attention=True)
         n_out = out["blendshapes"].shape[1]
         assert out["mel_attention_weights"].shape[:2] == (1, n_out)
+
+
+class TestInModelEmotion2Vec:
+    """emotion_backend='emotion2vec': the wav2vec2 encoder runs inside
+    the jitted forward as a trained submodule (reference runs torch
+    Wav2Vec2 host-side, emotion2vec.py:96-122)."""
+
+    def _model(self):
+        from koemorph_tpu.features.wav2vec2 import Wav2Vec2Config
+
+        return SimplifiedDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="emotion2vec", dropout=0.0,
+            emotion2vec_config=Wav2Vec2Config(
+                hidden_size=32, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=64,
+                conv_dim=(16, 16, 16), conv_stride=(5, 2, 2),
+                conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+                num_conv_pos_embedding_groups=4))
+
+    def test_forward_and_params(self):
+        model = self._model()
+        audio = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 16 * 533)).astype(np.float32) * 0.1)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), audio)
+        assert "emotion2vec" in variables["params"]
+        out = model.apply(variables, audio, deterministic=True)
+        assert out["blendshapes"].shape == (2, 52)
+        assert np.isfinite(np.asarray(out["blendshapes"])).all()
+
+    def test_gradients_reach_encoder(self):
+        model = self._model()
+        audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (1, 16 * 533)).astype(np.float32) * 0.1)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), audio)
+
+        def loss(p):
+            out = model.apply({"params": p}, audio, deterministic=True)
+            return jnp.sum(out["blendshapes"] ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        gnorm = float(sum(jnp.sum(jnp.abs(x)) for x in
+                          jax.tree_util.tree_leaves(g["emotion2vec"])))
+        assert gnorm > 0.0

@@ -300,3 +300,29 @@ class TestEndToEndParity:
         # window-edge framing is the only difference: small but nonzero
         max_dev = float(np.abs(got - ref_seq).max())
         assert max_dev < 0.02, max_dev
+
+    def test_sequential_exact_window_stft_within_1e_3(self, trained_setup):
+        """exact_window_stft=True reproduces the reference's per-window
+        reflect-padded framing inside the batched sequential decoder, so
+        the full sequential model passes the north-star gate directly."""
+        ref, ours_simple, params, audio, raw_emotion, n_out = trained_setup
+        n_frames = len(audio) // HOP
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(audio[None, : n_frames * HOP]))
+        ref_seq = ref_out["blendshapes"].numpy()[0]
+
+        ours = SequentialDualStreamModel(
+            d_model=D_MODEL, num_heads=HEADS, mel_sequence_length=WINDOW,
+            emotion_backend="egemaps", use_concatenation=True,
+            target_fps=FPS, dropout=0.0, stride_frames=STRIDE,
+            exact_window_stft=True)
+        raw = jnp.asarray(raw_emotion)
+        out = jax.jit(
+            lambda p, a: ours.apply(
+                {"params": p}, a, emotion_features_raw=raw,
+                deterministic=True))(
+            params, jnp.asarray(audio[None, : n_frames * HOP]))
+        got = np.asarray(out["blendshapes"])[0]
+        max_dev = float(np.abs(got - ref_seq).max())
+        assert max_dev <= 1e-3, max_dev
