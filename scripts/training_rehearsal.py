@@ -157,11 +157,13 @@ def main() -> int:
                "--output-file", str(work / "rt_out.jsonl"),
                "--no-realtime", "--d-model", str(args.d_model),
                "--max-frames", "120"])
+    # jax2tf conversion requires the CPU backend (the tunneled TPU
+    # backend is not visible to TensorFlow)
     run("export", [sys.executable, "scripts/export_model.py",
                    "--model", str(ckpt),
                    "--output", str(work / "export"),
                    "--d-model", str(args.d_model),
-                   "--format", "saved_model"])
+                   "--format", "saved_model", "--cpu"])
 
     first, last = epochs[0], epochs[-1]
     report = [
@@ -174,10 +176,13 @@ def main() -> int:
         f"{train_s:.0f} s wall.",
         "",
         "Targets are derived from the audio (mouth follows the energy "
-        "envelope, lips follow F0, expressions drift slowly), so the "
-        "loss/MAE decrease below demonstrates genuine audio->face "
-        "learning through the full production path (on-device mel + "
-        "eGeMAPS, batched window attention, associative-scan EMA).",
+        "envelope, lips follow F0, expressions drift slowly). The "
+        "discriminative signal is the pred/target **correlation**: the "
+        "absolute loss sits on the floor set by the targets' deliberate "
+        "per-channel noise, so correlation — not raw MSE — shows the "
+        "model genuinely tracking the audio through the full production "
+        "path (on-device mel + eGeMAPS, batched window attention, "
+        "associative-scan EMA).",
         "",
         "| metric | first epoch | last epoch |",
         "|---|---|---|",
@@ -205,11 +210,16 @@ def main() -> int:
         "loss_first": float(first["loss"]),
         "loss_last": float(last["loss"]),
         "mae_last": float(last.get("l1", float("nan"))),
+        "correlation_first": float(first.get("correlation", 0.0)),
+        "correlation_last": float(last.get("correlation", 0.0)),
         "train_seconds": round(train_s, 1),
         "cli": {k: v["rc"] for k, v in cli_log.items()},
     }
     print(json.dumps(summary))
-    ok = (summary["loss_last"] < 0.5 * summary["loss_first"]
+    # success = the model genuinely tracks the audio (the loss itself sits
+    # on the target noise floor, so pred/target correlation is the
+    # discriminative signal) and every CLI surface consumed the checkpoint
+    ok = (summary["correlation_last"] > 0.3
           and all(rc == 0 for rc in summary["cli"].values()))
     return 0 if ok else 1
 
