@@ -194,23 +194,25 @@ def _slope_stats(x, mask, frame_period: float):
 
 
 def _segment_stats(mask, frame_period: float, eps=1e-8):
-    """Voiced/unvoiced segment statistics from a boolean contour."""
+    """Exact per-segment statistics of a boolean contour:
+    ``(n_segments, mean_length_s, std_length_s)``.
+
+    Segment lengths are recovered without host loops via an associative
+    run-length scan: position t carries the length of the consecutive run
+    of True values ending at t, so reading the scan at each segment's
+    LAST frame yields that segment's exact length. Sums of lengths and
+    squared lengths over those end positions give the exact mean and
+    (population) standard deviation of segment lengths.
+    """
     m = mask.astype(jnp.float32)
     starts = jnp.maximum(m[..., 1:] - m[..., :-1], 0.0)
     n_segments = jnp.sum(starts, axis=-1) + m[..., 0]
-    total = jnp.sum(m, axis=-1)
-    mean_len = total / (n_segments + eps) * frame_period
 
-    # per-segment length stddev via run-length trick: position-weighted sums
-    # E[len^2] = sum over segments len_i^2; computed with a scan-free
-    # approximation using segment count and the second moment of the
-    # "distance into current segment" counter.
-    idx = jnp.arange(m.shape[-1], dtype=jnp.float32)
-
-    def run_positions(mm):
-        # value = consecutive run length at each position (associative scan)
+    def run_lengths(mm):
+        """Length of the run of ones ending at each position."""
         def op(a, b):
-            # composing runs: (count, is_all_ones)
+            # (count, all_ones): concatenating blocks a|b — if b is all
+            # ones its runs extend a's trailing run, else b's own count
             ca, fa = a
             cb, fb = b
             return (jnp.where(fb > 0, ca * fb + cb, cb), fa * fb)
@@ -218,17 +220,16 @@ def _segment_stats(mask, frame_period: float, eps=1e-8):
         counts, _ = jax.lax.associative_scan(op, (mm, mm), axis=-1)
         return counts
 
-    runs = run_positions(m)
-    # a segment's final length appears where the run ends
+    runs = run_lengths(m)
+    # a segment's final frame is a True followed by False (or sequence end)
     seg_end = m * jnp.concatenate(
         [1.0 - m[..., 1:], jnp.ones_like(m[..., :1])], axis=-1)
     seg_lengths_sum = jnp.sum(runs * seg_end, axis=-1)
     seg_lengths_sq = jnp.sum((runs * seg_end) ** 2, axis=-1)
-    mean2 = seg_lengths_sum / (n_segments + eps)
-    var = seg_lengths_sq / (n_segments + eps) - mean2 ** 2
+    mean_len = seg_lengths_sum / (n_segments + eps)
+    var = seg_lengths_sq / (n_segments + eps) - mean_len ** 2
     std_len = jnp.sqrt(jnp.maximum(var, 0.0)) * frame_period
-    del idx, mean_len
-    return n_segments, mean2 * frame_period, std_len
+    return n_segments, mean_len * frame_period, std_len
 
 
 # ---------------------------------------------------------------------------

@@ -61,12 +61,16 @@ def _iacf_matrix_np(n_fft: int, n_lags: int) -> np.ndarray:
 def power_spectrum_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     """``|rfft(frames, n_fft)|^2`` as two MXU matmuls (TPU has no native
     FFT; XLA's generic FFT lowering is ~100x slower than the MXU path for
-    these sizes). Frames shorter than ``n_fft`` are zero-padded."""
+    these sizes). Frames shorter than ``n_fft`` are implicitly
+    zero-padded by slicing the DFT matrices to the frame length —
+    padded-sample rows would multiply zeros, so dropping them halves the
+    GEMM's contraction dim at identical results (matters for YIN, whose
+    512-sample frames transform at length 804+)."""
     n = frames.shape[-1]
-    if n < n_fft:
-        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
-                         + [(0, n_fft - n)])
     c, s = dft_matrices(n_fft, dtype=frames.dtype)
+    if n < n_fft:
+        c = c[:n]
+        s = s[:n]
     re = jnp.matmul(frames, c, precision="highest")
     im = jnp.matmul(frames, s, precision="highest")
     return re * re + im * im
@@ -75,10 +79,17 @@ def power_spectrum_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
 def autocorr_matmul(frames: jnp.ndarray, n_lags: int,
                     n_fft: int | None = None) -> jnp.ndarray:
     """Frame autocorrelation ``acf(tau), tau in [0, n_lags)`` via the
-    Wiener-Khinchin identity, computed entirely as MXU matmuls."""
+    Wiener-Khinchin identity, computed entirely as MXU matmuls.
+
+    The transform length only needs ``n + n_lags`` to avoid circular
+    aliasing at the requested lags (matmul DFT has no power-of-2
+    constraint); rounding to the next pow2 as FFT code would costs up to
+    2.5x the FLOPs for YIN/LPC-sized inputs.
+    """
     n = frames.shape[-1]
     if n_fft is None:
-        n_fft = int(2 ** np.ceil(np.log2(2 * n)))
+        # lane-align the bin count; exactness only needs >= n + n_lags
+        n_fft = ((n + n_lags + 7) // 8) * 8
     power = power_spectrum_matmul(frames, n_fft)
     iacf = jnp.asarray(_iacf_matrix_np(n_fft, n_lags), dtype=frames.dtype)
     return jnp.matmul(power, iacf, precision="highest")
