@@ -314,8 +314,10 @@ class EmotionExtractor:
         if backend == "emotion2vec":
             if pretrained_path is not None:
                 # real wav2vec2-family weights from a local HF checkpoint
-                # (reference emotion2vec.py:96-122); load failure demotes,
-                # mirroring the reference's import-guard behavior
+                # (reference emotion2vec.py:96-122); load failure falls
+                # through to the next emotion2vec source (trainable
+                # encoder params, then precomputed features) before
+                # demoting, mirroring the reference's chain semantics
                 try:
                     from koemorph_tpu.features.wav2vec2 import (
                         Wav2Vec2Encoder, load_hf_checkpoint)
@@ -325,23 +327,20 @@ class EmotionExtractor:
                         w2v_cfg, use_layer_fusion=True)
                     self._e2v_params = {"params": jax.tree_util.tree_map(
                         jnp.asarray, loaded)}
-                    self.fallback_level = 0
                 except Exception as e:
                     logger.warning(
-                        "pretrained emotion2vec weights unavailable "
-                        "(%s); falling back to on-device eGeMAPS", e)
-                    self.fallback_level = 1
-            elif emotion2vec_params is not None:
+                        "pretrained emotion2vec weights unavailable (%s)",
+                        e)
+            if self._e2v_module is None and emotion2vec_params is not None:
                 from koemorph_tpu.features.emotion2vec import ConvEmotionEncoder
                 self._e2v_module = ConvEmotionEncoder()
-                self.fallback_level = 0
-            elif self._precomputed is not None:
-                # 1024-D features computed offline (e.g. by FunASR on a
-                # CPU box) and shipped as .npy files
+            if self._e2v_module is not None or self._precomputed is not None:
+                # precomputed: 1024-D features computed offline (e.g. by
+                # FunASR on a CPU box) and shipped as .npy files
                 self.fallback_level = 0
             else:
                 logger.info(
-                    "emotion2vec parameters not provided; falling back to "
+                    "no emotion2vec source available; falling back to "
                     "on-device eGeMAPS backend")
                 self.fallback_level = 1
         elif backend == "opensmile" or backend == "egemaps":
@@ -420,11 +419,29 @@ class EmotionExtractor:
             # Runtime demotion mid-batch changes the embedding dim; redo the
             # whole batch until the level is stable so the stacked output is
             # homogeneous. The chain has 3 levels, so at most 2 re-runs.
+            restore_level = (
+                self.fallback_level
+                if (self.fallback_level == 0 and self._e2v_module is None
+                    and self._precomputed is not None)
+                else None)
             for _ in range(3):
                 level_before = self.fallback_level
                 embeddings, predictions, blendshapes = run_batch()
                 if self.fallback_level == level_before:
                     break
+            served_backend = self._get_backend_name()
+            # A precomputed-store MISS only concerns THIS batch's
+            # utterances; unlike genuine backend failure, later batches of
+            # known utterances should still get their 1024-D features, so
+            # re-promote after the batch (the reference demotes
+            # permanently because its failures are import/model-level).
+            if restore_level is not None \
+                    and self.fallback_level != restore_level:
+                logger.info(
+                    "precomputed emotion features missing for this batch; "
+                    "served level-%d fallback, restoring emotion2vec for "
+                    "future batches", self.fallback_level)
+                self.fallback_level = restore_level
         except Exception:
             monitor.log_processing_end(token, success=False,
                                        error="batch extraction failed")
@@ -432,7 +449,7 @@ class EmotionExtractor:
 
         out = {
             "metadata": {
-                "backend_used": self._get_backend_name(),
+                "backend_used": served_backend,
                 "processing_time": time.time() - start,
                 "cache_used": self.extraction_stats["cache_hits"] > 0,
             },

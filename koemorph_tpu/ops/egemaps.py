@@ -700,14 +700,17 @@ def functionals_from_llds(
     return jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
 
 
-@functools.lru_cache(maxsize=2)
+_CALIBRATION_CACHE: dict = {}
+
+
 def load_calibration(path: str | None = None) -> np.ndarray | None:
     """Per-feature affine calibration fitted against OpenSMILE goldens
     (scripts/egemaps_goldens.py report --fit-calibration).
 
     Returns an (88, 2) [scale, offset] array, or None when no
     calibration file has been recorded. Identity rows are used for
-    features absent from the file.
+    features absent from the file. Cached per (path, mtime), so a table
+    written or refreshed mid-process is picked up on the next call.
     """
     import json
     from pathlib import Path
@@ -716,11 +719,16 @@ def load_calibration(path: str | None = None) -> np.ndarray | None:
                                  / "egemaps_calibration.json")
     if not p.exists():
         return None
+    key = (str(p), p.stat().st_mtime_ns)
+    if key in _CALIBRATION_CACHE:
+        return _CALIBRATION_CACHE[key]
     table = json.loads(p.read_text())
     out = np.tile(np.asarray([1.0, 0.0], np.float32), (NUM_FEATURES, 1))
     for i, name in enumerate(FEATURE_NAMES):
         if name in table:
             out[i] = np.asarray(table[name], np.float32)
+    _CALIBRATION_CACHE.clear()
+    _CALIBRATION_CACHE[key] = out
     return out
 
 
@@ -737,7 +745,12 @@ def apply_calibration(feats: jnp.ndarray,
         return feats
     c = jnp.asarray(calib)
     d = feats.shape[-1]
-    if d % NUM_FEATURES == 0 and d != NUM_FEATURES:
+    if d % NUM_FEATURES != 0:
+        raise ValueError(
+            f"apply_calibration expects a trailing dim that is a "
+            f"multiple of {NUM_FEATURES} (88-D functionals or their "
+            f"concatenations), got {d}")
+    if d != NUM_FEATURES:
         c = jnp.tile(c, (d // NUM_FEATURES, 1))
     return feats * c[:, 0] + c[:, 1]
 

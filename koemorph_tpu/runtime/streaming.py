@@ -102,6 +102,19 @@ class StreamingConfig:
     use_learnable_weights: bool = True
     fusion_temperature: float = 1.0
 
+    def __post_init__(self):
+        if self.emotion_backend not in ("egemaps", "basic"):
+            # emotion2vec is a batch-path backend (the wav2vec2 encoder
+            # carries model params and has no incremental form); the
+            # reference's production streaming backend is opensmile too.
+            # Serve such models by injecting precomputed emotion features
+            # or switching the serving backend to egemaps.
+            raise ValueError(
+                f"streaming supports emotion_backend 'egemaps' or 'basic', "
+                f"got {self.emotion_backend!r} (train-time emotion2vec "
+                f"models stream via backend='egemaps' serving or "
+                f"precomputed features)")
+
     @property
     def hop_length(self) -> int:
         return int(self.sample_rate / self.target_fps)
@@ -269,10 +282,23 @@ def stream_frame(
     bench.py uses cadence 1 / K / 0 to derive exact per-frame latency
     quantiles from the deterministic refresh schedule). ``0`` disables the
     refresh entirely.
+
+    BENCHMARK-ONLY KNOB with the incremental LLD ring: each refresh rolls
+    a block sized for ``cfg.emotion_update_frames`` regardless of when it
+    fires, so a different *production* cadence would gap or overlap the
+    ring's timeline. Static overrides other than 0/1/the configured
+    cadence are rejected; change ``cfg.emotion_update_frames`` instead.
     """
     hop = cfg.hop_length
     if update_every is None:
         update_every = cfg.emotion_update_frames
+    elif (isinstance(update_every, int) and cfg.use_lld_ring
+          and update_every not in (0, 1, cfg.emotion_update_frames)):
+        raise ValueError(
+            f"update_every={update_every} would corrupt the incremental "
+            f"LLD ring timeline (block geometry is fixed by "
+            f"cfg.emotion_update_frames={cfg.emotion_update_frames}); "
+            "set the cadence in StreamingConfig instead")
 
     # 1. shift-register audio ring (one contiguous HBM copy)
     ring = jnp.concatenate([state.audio_ring[hop:], hop_audio])

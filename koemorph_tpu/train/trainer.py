@@ -139,6 +139,7 @@ class Trainer:
                     "keep_epoch_every", 10)),
             config=_plain(self.config))
         self.writer = self._make_writer()
+        self._attn_image_fn = None   # lazily-jitted attention-viz forward
         self.epoch = 0
         self.global_step = 0
         # pin the output state to the replicated sharding: otherwise step 1's
@@ -329,10 +330,17 @@ class Trainer:
         if self.writer is None:
             return
         try:
-            out = self.state.apply_fn(
-                {"params": self.state.params}, batch["audio"][:1],
-                return_attention=True, deterministic=True)
+            if self._attn_image_fn is None:
+                # jitted + cached: an eager forward would dispatch the
+                # whole window decode op-by-op through the TPU tunnel
+                self._attn_image_fn = jax.jit(
+                    lambda p, a: self.state.apply_fn(
+                        {"params": p}, a, return_attention=True,
+                        deterministic=True))
+            out = self._attn_image_fn(self.state.params,
+                                      batch["audio"][:1])
         except TypeError:   # model without a return_attention path
+            self._attn_image_fn = None
             return
         except Exception as e:  # pragma: no cover - defensive
             logger.debug("attention image logging skipped: %s", e)

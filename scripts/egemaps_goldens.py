@@ -165,7 +165,7 @@ def cmd_report(args) -> int:
         "",
         f"Corpus: {len(clip_names)} clips ({', '.join(clip_names)})",
         "",
-        "| feature | pearson r | MAE | mean |golden| | status |",
+        "| feature | pearson r | MAE | mean abs golden | status |",
         "|---|---|---|---|---|",
     ]
     calib = {}

@@ -208,6 +208,13 @@ class TestEmotionExtractorIntegration:
                               precomputed_dir=tmp_path)
         unknown = audio(b=1, seed=99)[0]
         out = ex.extract_features(unknown[None])
-        # runtime demotion produced eGeMAPS features instead of crashing
-        assert ex.fallback_level >= 1
+        # the miss batch is served with eGeMAPS features...
         assert np.asarray(out["embeddings"]).shape[-1] in (88, 264)
+        assert out["metadata"]["backend_used"] == "opensmile"
+        # ...but a store miss is per-utterance, not a backend failure:
+        # the extractor re-promotes so later batches of KNOWN utterances
+        # still get their 1024-D features
+        assert ex.fallback_level == 0
+        out2 = ex.extract_features(known[None])
+        np.testing.assert_allclose(np.asarray(out2["embeddings"])[0],
+                                   np.ones(1024), rtol=1e-6)

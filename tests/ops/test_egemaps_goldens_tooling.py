@@ -73,7 +73,6 @@ class TestReport:
             FEATURE_NAMES, apply_calibration, egemaps_functionals,
             load_calibration)
 
-        load_calibration.cache_clear()
         table = load_calibration(str(mod.CALIB_PATH))
         audio = list(mod.synthetic_corpus().values())[0]
         ours = np.asarray(egemaps_functionals(jnp.asarray(audio)))

@@ -353,3 +353,36 @@ class TestTrainServeContextMatch:
         # ring vs monolithic grids differ sub-hop; statistics must agree
         assert float(np.median(rel)) < 0.05, float(np.median(rel))
         assert float(np.percentile(rel, 90)) < 0.3
+
+
+class TestStreamingConfigGuards:
+    def test_emotion2vec_backend_rejected(self):
+        with pytest.raises(ValueError, match="emotion2vec"):
+            StreamingConfig(emotion_backend="emotion2vec")
+
+    def test_from_model_with_emotion2vec_model_rejected(self):
+        from koemorph_tpu.features.wav2vec2 import Wav2Vec2Config
+        model = SimplifiedDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="emotion2vec",
+            emotion2vec_config=Wav2Vec2Config(
+                hidden_size=32, num_hidden_layers=1,
+                num_attention_heads=2, intermediate_size=64,
+                conv_dim=(16,), conv_stride=(5,), conv_kernel=(10,),
+                num_conv_pos_embeddings=16,
+                num_conv_pos_embedding_groups=4))
+        with pytest.raises(ValueError, match="emotion2vec"):
+            StreamingConfig.from_model(model)
+
+    def test_static_update_every_mismatch_rejected(self):
+        cfg = StreamingConfig(
+            window_frames=16, d_model=32, num_heads=2,
+            emotion_backend="egemaps", use_concatenation=True,
+            emotion_context_s=2.0, emotion_update_frames=9,
+            incremental_lld=True)
+        params = tiny_params(cfg)
+        state = init_stream_state(cfg)
+        with pytest.raises(ValueError, match="LLD ring"):
+            stream_frame(params, state,
+                         jnp.zeros((cfg.hop_length,)), cfg,
+                         update_every=18)
