@@ -21,6 +21,20 @@ from koemorph_tpu.ops.frontend import (
     log_mel_spectrogram,
     mel_with_temporal_detail,
 )
+from koemorph_tpu.ops.egemaps import (
+    FEATURE_NAMES as EGEMAPS_FEATURE_NAMES,
+    EgemapsConfig,
+    LldCarry,
+    apply_calibration,
+    compute_lld_block,
+    compute_llds,
+    egemaps_concat_windows,
+    egemaps_functionals,
+    functionals_from_llds,
+    load_calibration,
+    silence_lld_carry,
+)
+from koemorph_tpu.ops.f0 import F0Result, yin_f0
 from koemorph_tpu.ops.reconstruct import (
     compute_reconstruction_snr,
     griffin_lim,
@@ -48,4 +62,17 @@ __all__ = [
     "reconstruct_audio",
     "compute_reconstruction_snr",
     "validate_mel_parameters",
+    "EGEMAPS_FEATURE_NAMES",
+    "EgemapsConfig",
+    "LldCarry",
+    "apply_calibration",
+    "compute_lld_block",
+    "compute_llds",
+    "egemaps_concat_windows",
+    "egemaps_functionals",
+    "functionals_from_llds",
+    "load_calibration",
+    "silence_lld_carry",
+    "F0Result",
+    "yin_f0",
 ]
