@@ -2,7 +2,9 @@
 
 from koemorph_tpu.visualization.attention_viz import (
     AttentionVisualizer,
+    create_interactive_attention_html,
     frequency_bands,
 )
 
-__all__ = ["AttentionVisualizer", "frequency_bands"]
+__all__ = ["AttentionVisualizer", "create_interactive_attention_html",
+           "frequency_bands"]

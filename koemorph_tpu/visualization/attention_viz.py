@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 from pathlib import Path
-from typing import Union
+from typing import Optional, Union
 
 import numpy as np
 
@@ -139,3 +139,115 @@ class AttentionVisualizer:
             "specialization": float(
                 w[0, mouth].mean() + w[1, expr].mean()) / 2,
         }
+
+
+def create_interactive_attention_html(
+    mel_attention: np.ndarray,          # (28, 80) or (B, 28, 80)
+    emotion_attention: Optional[np.ndarray] = None,  # (24, K)
+    save_path: Union[str, Path] = "attention_interactive.html",
+) -> str:
+    """Self-contained interactive HTML attention explorer.
+
+    Parity target: reference create_interactive_attention_plot
+    (attention_viz.py:398-518, plotly). plotly is not in this image, so
+    the same content — hoverable mel-attention heatmap, per-frequency-band
+    mean bars, emotion attention heatmap — is rendered as a single HTML
+    file with inline SVG + vanilla JS tooltips (zero dependencies, opens
+    anywhere).
+    """
+    mel = np.asarray(mel_attention, np.float64)
+    if mel.ndim == 3:
+        mel = mel.mean(axis=0)
+    q, c = mel.shape
+    names = [ARKIT_BLENDSHAPES[i] for i in MOUTH_INDICES][:q]
+    bands = frequency_bands(c)
+
+    def color(v, vmax):
+        """viridis-ish 3-stop ramp."""
+        t = 0.0 if vmax <= 0 else min(max(v / vmax, 0.0), 1.0)
+        stops = [(68, 1, 84), (33, 145, 140), (253, 231, 37)]
+        if t < 0.5:
+            a, b, u = stops[0], stops[1], t * 2
+        else:
+            a, b, u = stops[1], stops[2], (t - 0.5) * 2
+        rgb = [round(a[i] + (b[i] - a[i]) * u) for i in range(3)]
+        return f"rgb({rgb[0]},{rgb[1]},{rgb[2]})"
+
+    cw, ch = 11, 14
+    vmax = float(mel.max()) or 1.0
+    cells = []
+    for i in range(q):
+        for j in range(c):
+            v = float(mel[i, j])
+            cells.append(
+                f'<rect x="{j*cw}" y="{(q-1-i)*ch}" width="{cw}" '
+                f'height="{ch}" fill="{color(v, vmax)}" '
+                f'data-t="{names[i]} · mel {j} · {v:.4f}"/>')
+    band_rows = []
+    bmax = 1e-9
+    band_means = {}
+    for name, (lo, hi) in bands.items():
+        m = float(mel[:, lo:hi].mean()) if hi > lo else 0.0
+        band_means[name] = m
+        bmax = max(bmax, m)
+    for k, (name, m) in enumerate(band_means.items()):
+        w = int(260 * m / bmax)
+        band_rows.append(
+            f'<div class="bar"><span class="lbl">{name}</span>'
+            f'<span class="fill" style="width:{w}px"></span>'
+            f'<span class="val">{m:.4f}</span></div>')
+
+    emo_html = ""
+    if emotion_attention is not None:
+        emo = np.asarray(emotion_attention, np.float64)
+        if emo.ndim == 3:
+            emo = emo.mean(axis=0)
+        eq, ek = emo.shape
+        enames = [ARKIT_BLENDSHAPES[i] for i in EXPRESSION_INDICES][:eq]
+        emax = float(emo.max()) or 1.0
+        ecw = max(14, min(40, 600 // max(ek, 1)))
+        ecells = "".join(
+            f'<rect x="{j*ecw}" y="{(eq-1-i)*ch}" width="{ecw}" '
+            f'height="{ch}" fill="{color(float(emo[i, j]), emax)}" '
+            f'data-t="{enames[i]} · token {j} · {float(emo[i, j]):.4f}"/>'
+            for i in range(eq) for j in range(ek))
+        emo_html = (
+            f"<h2>Emotion attention ({eq} expression queries × {ek} "
+            f"tokens)</h2><svg width='{ek*ecw}' height='{eq*ch}'>"
+            f"{ecells}</svg>")
+
+    html = f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>KoeMorph attention</title><style>
+body {{ font-family: sans-serif; margin: 24px; }}
+svg rect:hover {{ stroke: #fff; stroke-width: 1; }}
+#tip {{ position: fixed; background: #222; color: #fff; padding: 4px 8px;
+       border-radius: 4px; font-size: 12px; pointer-events: none;
+       display: none; }}
+.bar {{ display: flex; align-items: center; margin: 2px 0; }}
+.lbl {{ width: 110px; font-size: 12px; }}
+.fill {{ background: #33918c; height: 12px; display: inline-block; }}
+.val {{ margin-left: 6px; font-size: 11px; color: #555; }}
+</style></head><body>
+<h1>Dual-stream attention</h1>
+<h2>Mel attention ({q} mouth queries × {c} mel channels)</h2>
+<svg width="{c*cw}" height="{q*ch}">{''.join(cells)}</svg>
+<h2>Mean attention per frequency band</h2>
+{''.join(band_rows)}
+{emo_html}
+<div id="tip"></div>
+<script>
+const tip = document.getElementById('tip');
+document.querySelectorAll('rect').forEach(r => {{
+  r.addEventListener('mousemove', e => {{
+    tip.style.display = 'block';
+    tip.style.left = (e.clientX + 12) + 'px';
+    tip.style.top = (e.clientY + 12) + 'px';
+    tip.textContent = r.dataset.t;
+  }});
+  r.addEventListener('mouseleave', () => tip.style.display = 'none');
+}});
+</script></body></html>"""
+    out = Path(save_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(html)
+    return str(out)

@@ -1,5 +1,7 @@
 """Attention visualization tests (shapes + file outputs, analysis-only)."""
 
+from pathlib import Path
+
 import numpy as np
 
 from koemorph_tpu.visualization import AttentionVisualizer, frequency_bands
@@ -38,3 +40,30 @@ class TestVisualizer:
         assert 0 <= s["specialization"] <= 1
         assert np.isclose(s["mel_weight_on_mouth"]
                           + s["emotion_weight_on_mouth"], 1.0, atol=1e-6)
+
+
+class TestInteractiveHtml:
+    def test_creates_selfcontained_html(self, tmp_path):
+        from koemorph_tpu.visualization.attention_viz import (
+            create_interactive_attention_html)
+
+        rng = np.random.default_rng(0)
+        out = create_interactive_attention_html(
+            rng.random((28, 80)).astype(np.float32),
+            rng.random((2, 24, 1)).astype(np.float32),
+            tmp_path / "att.html")
+        html = Path(out).read_text()
+        # self-contained: no external scripts/styles
+        assert "http" not in html.lower().replace("http-equiv", "")
+        assert "<svg" in html and "jawOpen" in html
+        assert "browInnerUp" in html          # expression names present
+        assert "frequency band" in html.lower()
+
+    def test_batched_mel_input_averaged(self, tmp_path):
+        from koemorph_tpu.visualization.attention_viz import (
+            create_interactive_attention_html)
+
+        rng = np.random.default_rng(1)
+        out = create_interactive_attention_html(
+            rng.random((4, 28, 80)), None, tmp_path / "a.html")
+        assert Path(out).exists()
