@@ -111,3 +111,64 @@ class TestBatchedSequentialDecoder:
         decoder = BatchedSequentialDecoder(model, params)
         with pytest.raises(ValueError):
             decoder(np.zeros((3, span), np.float32))
+
+
+class TestDataParallelEquivalence:
+    """Distributed-correctness pin: a jitted train step over the 8-device
+    mesh must produce the SAME loss and the same updated params as the
+    identical global batch on one device — data parallelism is a layout
+    change, not a numerics change (XLA all-reduce vs single-device sum)."""
+
+    def test_sharded_step_matches_single_device(self, cpu_devices):
+        import optax
+
+        from koemorph_tpu.models.dual_stream_model import (
+            SequentialDualStreamModel)
+        from koemorph_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicate)
+
+        model = SequentialDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="basic", use_concatenation=False,
+            stride_frames=8, target_fps=30, dropout=0.0)
+        rng = np.random.default_rng(0)
+        span = 24
+        audio = jnp.asarray(rng.standard_normal(
+            (8, span * 533)).astype(np.float32) * 0.1)
+        n_out = (span - 16) // 8 + 1
+        targets = jnp.asarray(rng.uniform(
+            0, 0.05, (8, n_out, 52)).astype(np.float32))
+
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     audio[:1])["params"]
+        tx = optax.adam(1e-3)
+        opt0 = tx.init(params)
+
+        def loss_fn(p, a, t):
+            out = model.apply({"params": p}, a, deterministic=True)
+            return jnp.mean((out["blendshapes"] - t) ** 2)
+
+        @jax.jit
+        def step(p, opt, a, t):
+            loss, g = jax.value_and_grad(loss_fn)(p, a, t)
+            updates, opt = tx.update(g, opt)
+            return optax.apply_updates(p, updates), loss
+
+        # single device
+        p1, loss1 = step(params, opt0, audio, targets)
+
+        # sharded over the full mesh
+        mesh = make_mesh()
+        sh = batch_sharding(mesh)
+        p_rep = replicate(params, mesh)
+        opt_rep = replicate(opt0, mesh)
+        a_sh = jax.device_put(audio, sh)
+        t_sh = jax.device_put(targets, sh)
+        p8, loss8 = step(p_rep, opt_rep, a_sh, t_sh)
+
+        np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+        flat1 = jax.tree_util.tree_leaves(p1)
+        flat8 = jax.tree_util.tree_leaves(p8)
+        for x, y in zip(flat1, flat8):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-4, atol=2e-6)
