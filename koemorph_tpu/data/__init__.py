@@ -17,6 +17,7 @@ from koemorph_tpu.data.dataset import (
 from koemorph_tpu.data.sequential import (
     AdaptiveSequentialDataset,
     prefetch_iterator,
+    SequentialBatchSampler,
     SequentialKoeMorphDataset,
     StrideSchedule,
     create_adaptive_dataloader,
@@ -29,7 +30,8 @@ __all__ = [
     "ARKitDataLoader", "detect_fps", "load_blendshapes_with_fps",
     "resample_blendshapes", "validate_data_consistency",
     "KoeMorphDataset", "KoeMorphDataModule", "Prefetcher", "collate_fn",
-    "SequentialKoeMorphDataset", "AdaptiveSequentialDataset",
+    "SequentialKoeMorphDataset", "SequentialBatchSampler",
+    "AdaptiveSequentialDataset",
     "StrideSchedule", "create_sequential_dataloader",
     "create_adaptive_dataloader", "sequential_collate", "prefetch_iterator",
 ]

@@ -312,6 +312,42 @@ def create_adaptive_dataloader(
     return _batched_loader(dataset, batch_size, drop_last), dataset
 
 
+class SequentialBatchSampler:
+    """File-continuous window batching (reference
+    sequential_dataset.py:247-321): batches never mix windows from
+    different files — at a file boundary the partial batch is flushed
+    (or dropped with ``drop_last``) so the trainer's temporal-state reset
+    happens exactly once per file.
+    """
+
+    def __init__(self, dataset: SequentialKoeMorphDataset,
+                 batch_size: int, drop_last: bool = True,
+                 shuffle_sequences: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        # file order is shuffled by the dataset's own set_epoch; the flag
+        # is kept for reference API compatibility
+        self.shuffle_sequences = shuffle_sequences
+
+    def __iter__(self) -> Iterator[dict]:
+        batch: list[dict] = []
+        current_file = None
+        for sample in self.dataset:
+            if current_file is not None and \
+                    sample["file_idx"] != current_file and batch:
+                if not self.drop_last or len(batch) == self.batch_size:
+                    yield sequential_collate(batch)
+                batch = []
+            current_file = sample["file_idx"]
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                yield sequential_collate(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield sequential_collate(batch)
+
+
 def _batched_loader(dataset, batch_size: int, drop_last: bool):
     """Shared window batcher with background prefetch."""
 

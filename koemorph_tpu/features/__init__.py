@@ -30,8 +30,13 @@ from koemorph_tpu.features.sliding_window import (
 from koemorph_tpu.features.egemaps_extractor import (
     AudioBuffer,
     EgemapsStreamingExtractor,
+    OpenSMILEeGeMAPSExtractor,
     create_egemaps_extractor,
     create_opensmile_extractor,
+)
+from koemorph_tpu.features.stft import (
+    InverseMelSpectrogram,
+    MelSpectrogramExtractor,
 )
 
 __all__ = [
@@ -45,5 +50,7 @@ __all__ = [
     "utterance_embedding",
     "MelAudioBuffer", "MelSlidingWindowExtractor", "create_mel_extractor",
     "AudioBuffer", "EgemapsStreamingExtractor",
+    "OpenSMILEeGeMAPSExtractor",
     "create_egemaps_extractor", "create_opensmile_extractor",
+    "MelSpectrogramExtractor", "InverseMelSpectrogram",
 ]

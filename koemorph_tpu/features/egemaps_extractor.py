@@ -237,3 +237,8 @@ def create_egemaps_extractor(config: Optional[dict] = None
 
 # reference-name alias for drop-in config compatibility
 create_opensmile_extractor = create_egemaps_extractor
+
+
+# Reference-compatible name (reference opensmile_extractor.py:156): the "OpenSMILE" extractor is our
+# on-device implementation — no OpenSMILE binary involved.
+OpenSMILEeGeMAPSExtractor = EgemapsStreamingExtractor

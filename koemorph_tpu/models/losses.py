@@ -350,3 +350,45 @@ def compute_lip_sync_metrics(
         else:
             m["audiovisual_sync"] = 0.0
     return m
+
+
+# ---------------------------------------------------------------------------
+# reference-named callable wrappers (reference losses.py:29, :294, :380) —
+# the pure functions above are the JAX-idiomatic API; these classes keep
+# torch-style call sites working unchanged.
+# ---------------------------------------------------------------------------
+
+class KoeMorphLoss:
+    """Callable combining all loss terms (reference losses.py:29-291).
+
+    Returns ``(total, metrics_dict)`` like the reference's
+    ``(loss, loss_dict)``.
+    """
+
+    def __init__(self, reduction: str = "mean", **weights):
+        if reduction != "mean":
+            raise ValueError("only reduction='mean' is supported "
+                             "(the reference default)")
+        self.config = KoeMorphLossConfig(**weights)
+
+    def __call__(self, pred_blendshapes, target_blendshapes,
+                 prev_pred=None, prev_target=None, audio_features=None):
+        return koemorph_loss(
+            pred_blendshapes, target_blendshapes, prev_pred=prev_pred,
+            prev_target=prev_target, audio_features=audio_features,
+            config=self.config)
+
+
+class PerceptualBlendshapeLoss:
+    """Group-weighted perceptual term (reference losses.py:294-377)."""
+
+    def __call__(self, pred, target, audio_features=None):
+        return perceptual_loss(pred, target, audio_features=audio_features)
+
+
+class LandmarkConsistencyLoss:
+    """Approximate-landmark L2 (reference losses.py:380-418; the
+    52->landmark projection is the same fixed random placeholder)."""
+
+    def __call__(self, pred, target):
+        return landmark_loss(pred, target)

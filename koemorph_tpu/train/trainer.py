@@ -552,7 +552,7 @@ class SequentialTrainer(Trainer):
         """Per-sequence loss statistics at file boundaries (reference
         train_sequential.py:373-386: sequence/mean_loss, std_loss,
         loss_trend when the file being consumed changes)."""
-        fi = batch.get("file_idx")
+        fi = batch.get("file_indices", batch.get("file_idx"))
         if fi is None:
             return
         current = int(np.asarray(fi).reshape(-1)[0])

@@ -186,3 +186,25 @@ class TestStrideSchedule:
             schedule=StrideSchedule(mode="sparse", sparse_stride=32))
         frames = [w["start_frame"] for w in ds]
         assert frames[1] - frames[0] == 32
+
+
+class TestSequentialBatchSampler:
+    def test_batches_never_mix_files(self, tmp_path):
+        from koemorph_tpu.data.sequential import (
+            SequentialBatchSampler, SequentialKoeMorphDataset)
+        from koemorph_tpu.train.__main__ import write_synthetic_dataset
+
+        write_synthetic_dataset(tmp_path, 2, duration_s=6.0,
+                                speech_correlated=False)
+        ds = SequentialKoeMorphDataset(
+            str(tmp_path), window_frames=32, stride_frames=16,
+            sample_rate=16000, target_fps=30.0)
+        sampler = SequentialBatchSampler(ds, batch_size=3, drop_last=False)
+        batches = list(sampler)
+        assert batches, "no batches yielded"
+        for b in batches:
+            files = np.unique(np.asarray(b["file_indices"]))
+            assert len(files) == 1, "batch mixes files"
+        # every window appears exactly once across batches
+        total = sum(len(np.asarray(b["file_indices"])) for b in batches)
+        assert total == ds.get_num_windows()

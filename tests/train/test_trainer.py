@@ -397,7 +397,7 @@ class TestObservability:
         batches = _synthetic_batches(4, 8, 24 * 533, frames=24,
                                      key="blendshapes")
         for i, b in enumerate(batches):
-            b["file_idx"] = np.full((8,), i // 2, np.int64)
+            b["file_indices"] = np.full((8,), i // 2, np.int64)
         trainer.train_epoch(iter(batches))
         tags = [t for t, *_ in trainer.writer.scalars]
         # one flush at the file boundary + one at epoch end
