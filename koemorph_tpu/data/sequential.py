@@ -336,7 +336,9 @@ class SequentialBatchSampler:
         for sample in self.dataset:
             if current_file is not None and \
                     sample["file_idx"] != current_file and batch:
-                if not self.drop_last or len(batch) == self.batch_size:
+                # a partial batch at the file boundary (full batches were
+                # already flushed below)
+                if not self.drop_last:
                     yield sequential_collate(batch)
                 batch = []
             current_file = sample["file_idx"]

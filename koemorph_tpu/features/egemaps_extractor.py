@@ -36,6 +36,7 @@ from koemorph_tpu.ops.egemaps import (
 logger = logging.getLogger(__name__)
 
 __all__ = ["AudioBuffer", "EgemapsStreamingExtractor",
+           "OpenSMILEeGeMAPSExtractor",
            "create_opensmile_extractor", "create_egemaps_extractor"]
 
 
@@ -239,6 +240,44 @@ def create_egemaps_extractor(config: Optional[dict] = None
 create_opensmile_extractor = create_egemaps_extractor
 
 
-# Reference-compatible name (reference opensmile_extractor.py:156): the "OpenSMILE" extractor is our
-# on-device implementation — no OpenSMILE binary involved.
-OpenSMILEeGeMAPSExtractor = EgemapsStreamingExtractor
+class OpenSMILEeGeMAPSExtractor(EgemapsStreamingExtractor):
+    """Reference-named constructor surface
+    (reference opensmile_extractor.py:156-199) over the on-device
+    extractor — no OpenSMILE binary involved.
+
+    Accepts and validates the reference's kwargs: ``feature_set`` /
+    ``feature_level`` must name what we implement (eGeMAPSv02
+    Functionals); ``device`` / ``enable_caching`` / ``cache_dir`` are
+    accepted for compatibility (features are recomputed on-device at the
+    update cadence — there is no host cache to manage). The reference
+    default ``use_concatenation=False`` (88-D) is preserved.
+    """
+
+    def __init__(
+        self,
+        sample_rate: int = 16000,
+        context_window: float = 20.0,
+        update_interval: float = 0.3,
+        feature_set: str = "eGeMAPSv02",
+        feature_level: str = "Functionals",
+        enable_caching: bool = True,
+        cache_dir: Optional[str] = None,
+        device: str = "cpu",
+        temporal_history_frames: int = 30,
+        use_concatenation: bool = False,
+    ):
+        if feature_set != "eGeMAPSv02":
+            raise ValueError(
+                f"unsupported feature_set {feature_set!r}: this framework "
+                "implements eGeMAPSv02 (88 functionals)")
+        if feature_level != "Functionals":
+            raise ValueError(
+                f"unsupported feature_level {feature_level!r}: only "
+                "'Functionals' is implemented (LLDs are available via "
+                "koemorph_tpu.ops.compute_llds)")
+        del enable_caching, cache_dir, device   # compatibility-only
+        super().__init__(
+            sample_rate=sample_rate, context_window=context_window,
+            update_interval=update_interval,
+            temporal_history_frames=temporal_history_frames,
+            use_concatenation=use_concatenation)

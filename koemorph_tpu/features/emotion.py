@@ -323,10 +323,15 @@ class EmotionExtractor:
                         Wav2Vec2Encoder, load_hf_checkpoint)
 
                     w2v_cfg, loaded = load_hf_checkpoint(pretrained_path)
-                    self._e2v_module = Wav2Vec2Encoder(
-                        w2v_cfg, use_layer_fusion=True)
-                    self._e2v_params = {"params": jax.tree_util.tree_map(
+                    # build BOTH before assigning either, so a failure
+                    # here leaves the extractor consistent and the
+                    # fall-through below still applies
+                    module = Wav2Vec2Encoder(w2v_cfg,
+                                             use_layer_fusion=True)
+                    p = {"params": jax.tree_util.tree_map(
                         jnp.asarray, loaded)}
+                    self._e2v_module = module
+                    self._e2v_params = p
                 except Exception as e:
                     logger.warning(
                         "pretrained emotion2vec weights unavailable (%s)",

@@ -87,10 +87,17 @@ class MelSpectrogramExtractor:
 class InverseMelSpectrogram:
     """Log-mel (B, T, n_mels) -> waveform via pseudo-inverse mel +
     Griffin-Lim (reference src/features/stft.py:176-249; reconstruction
-    quality checks, not production audio)."""
+    quality checks, not production audio).
+
+    Accepts either the reference calling convention —
+    ``InverseMelSpectrogram(mel_extractor, n_iter=32)`` (stft.py:183-204)
+    — or explicit DSP parameters.
+    """
 
     def __init__(
         self,
+        mel_extractor: Optional[MelSpectrogramExtractor] = None,
+        *,
         sample_rate: int = 16000,
         target_fps: float = 30.0,
         n_fft: int = 512,
@@ -98,14 +105,23 @@ class InverseMelSpectrogram:
         f_min: float = 80.0,
         f_max: Optional[float] = None,
         n_iter: int = 32,
+        momentum: float = 0.99,
+        length: Optional[int] = None,
         eps: float = 1e-8,
     ):
-        self.cfg = LogMelFrontend(
-            sample_rate=sample_rate, target_fps=float(target_fps),
-            n_fft=n_fft, n_mels=n_mels, f_min=f_min,
-            f_max=f_max if f_max is not None else sample_rate / 2.0,
-            style="torchaudio", eps=eps)
+        if mel_extractor is not None:
+            # reference signature: derive everything from the extractor
+            self.cfg = mel_extractor.cfg
+            eps = mel_extractor.cfg.eps
+        else:
+            self.cfg = LogMelFrontend(
+                sample_rate=sample_rate, target_fps=float(target_fps),
+                n_fft=n_fft, n_mels=n_mels, f_min=f_min,
+                f_max=f_max if f_max is not None else sample_rate / 2.0,
+                style="torchaudio", eps=eps)
         self.n_iter = n_iter
+        self.momentum = momentum
+        self.length = length
         self.eps = eps
 
     def __call__(self, log_mel) -> jnp.ndarray:
@@ -123,7 +139,7 @@ class InverseMelSpectrogram:
         # by ||window||); undo it so Griffin-Lim sees physical magnitudes
         w = hann_window(cfg.n_fft)
         magnitude = magnitude * jnp.sqrt(jnp.sum(w * w))
-        length = mel_power.shape[-2] * cfg.hop_length
+        length = self.length or mel_power.shape[-2] * cfg.hop_length
         return griffin_lim(magnitude, n_fft=cfg.n_fft,
                            hop_length=cfg.hop_length, length=length,
-                           n_iter=self.n_iter)
+                           n_iter=self.n_iter, momentum=self.momentum)

@@ -104,11 +104,42 @@ def model_params_from_state_dict(sd: dict, init_params: dict) -> dict:
     params = dict(init_params)
     att = attention_params_from_state_dict(sd,
                                            prefix="dual_stream_attention.")
-    want = set(params["dual_stream_attention"])
+    init_att = params["dual_stream_attention"]
+    want = set(init_att)
     got = set(att)
     if want - got:
         raise ValueError(
-            f"checkpoint missing attention parameters: {sorted(want - got)}")
+            f"checkpoint missing attention parameters: {sorted(want - got)}"
+            " (a checkpoint without mel_weights/emotion_weights was "
+            "trained with fixed fusion — build the model with "
+            "use_learnable_weights=False)")
+    surplus = got - want
+    if surplus == {"mel_weights", "emotion_weights"}:
+        # the reference stores fusion weights as buffers even in fixed
+        # mode; a use_learnable_weights=False target recomputes the same
+        # binary masks statically, so dropping them is lossless
+        logger.info("dropping checkpoint fusion weights (target model "
+                    "uses fixed fusion masks)")
+        att = {k: v for k, v in att.items() if k not in surplus}
+    elif surplus:
+        raise ValueError(
+            f"checkpoint has attention parameters the model does not "
+            f"expect: {sorted(surplus)}")
+    # fail fast on architecture mismatches (wrong --d-model etc.) instead
+    # of writing a checkpoint that crashes opaquely at serve time
+    def check_shapes(path, init_leaf, new_leaf):
+        if np.shape(init_leaf) != np.shape(new_leaf):
+            raise ValueError(
+                f"shape mismatch at dual_stream_attention.{path}: model "
+                f"expects {np.shape(init_leaf)}, checkpoint has "
+                f"{np.shape(new_leaf)} — check --d-model / --num-heads / "
+                "--mel-sequence-length against the training config")
+
+    for key, init_leaf in jax.tree_util.tree_leaves_with_path(init_att):
+        new_leaf = att
+        for k in key:
+            new_leaf = new_leaf[k.key]
+        check_shapes(jax.tree_util.keystr(key), init_leaf, new_leaf)
     params["dual_stream_attention"] = jax.tree_util.tree_map(
         jnp.asarray, att)
     if "smoothing_alpha" in sd:

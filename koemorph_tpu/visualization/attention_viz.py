@@ -23,7 +23,8 @@ from koemorph_tpu.blendshapes import (
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["frequency_bands", "AttentionVisualizer"]
+__all__ = ["frequency_bands", "AttentionVisualizer",
+           "create_interactive_attention_html"]
 
 
 def frequency_bands(n_mels: int = 80, sample_rate: int = 16000,
@@ -141,6 +142,17 @@ class AttentionVisualizer:
         }
 
 
+def _query_labels(n: int, preferred_indices) -> list:
+    """Blendshape names for n query rows: the stream's own names first,
+    then the full vocabulary, then generic labels (so a (52, K) or larger
+    matrix renders instead of crashing)."""
+    pool = ([ARKIT_BLENDSHAPES[i] for i in preferred_indices]
+            + [b for b in ARKIT_BLENDSHAPES
+               if b not in {ARKIT_BLENDSHAPES[i]
+                            for i in preferred_indices}])
+    return [(pool[i] if i < len(pool) else f"q{i}") for i in range(n)]
+
+
 def create_interactive_attention_html(
     mel_attention: np.ndarray,          # (28, 80) or (B, 28, 80)
     emotion_attention: Optional[np.ndarray] = None,  # (24, K)
@@ -159,7 +171,7 @@ def create_interactive_attention_html(
     if mel.ndim == 3:
         mel = mel.mean(axis=0)
     q, c = mel.shape
-    names = [ARKIT_BLENDSHAPES[i] for i in MOUTH_INDICES][:q]
+    names = _query_labels(q, MOUTH_INDICES)
     bands = frequency_bands(c)
 
     def color(v, vmax):
@@ -203,7 +215,7 @@ def create_interactive_attention_html(
         if emo.ndim == 3:
             emo = emo.mean(axis=0)
         eq, ek = emo.shape
-        enames = [ARKIT_BLENDSHAPES[i] for i in EXPRESSION_INDICES][:eq]
+        enames = _query_labels(eq, EXPRESSION_INDICES)
         emax = float(emo.max()) or 1.0
         ecw = max(14, min(40, 600 // max(ek, 1)))
         ecells = "".join(
@@ -249,5 +261,5 @@ document.querySelectorAll('rect').forEach(r => {{
 </script></body></html>"""
     out = Path(save_path)
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(html)
+    out.write_text(html, encoding="utf-8")
     return str(out)

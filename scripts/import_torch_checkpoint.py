@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     p.add_argument("--fps", type=int, default=30, choices=[30, 60])
     p.add_argument("--emotion-backend", default="egemaps",
                    choices=["egemaps", "basic"])
+    p.add_argument("--fixed-fusion", action="store_true",
+                   help="the checkpoint was trained with fixed (hard "
+                        "mouth/expression) stream fusion instead of "
+                        "learnable weights")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -51,7 +55,8 @@ def main(argv=None) -> int:
         d_model=args.d_model, num_heads=args.num_heads,
         mel_sequence_length=args.mel_sequence_length,
         emotion_backend=args.emotion_backend, use_concatenation=True,
-        target_fps=args.fps, dropout=0.0)
+        target_fps=args.fps, dropout=0.0,
+        use_learnable_weights=not args.fixed_fusion)
     out = import_torch_checkpoint(args.pth, model, args.output)
     print(out)
     return 0

@@ -66,3 +66,27 @@ class TestInverseMelSpectrogram:
         # normalized-analysis gain is undone: amplitude same order as 0.5
         peak = np.abs(rec).max()
         assert 0.05 < peak < 5.0, peak
+
+
+class TestReferenceCallingConventions:
+    def test_inverse_accepts_extractor_instance(self):
+        """Reference signature: InverseMelSpectrogram(mel_extractor, ...)
+        (reference stft.py:183-204)."""
+        ex = MelSpectrogramExtractor(n_fft=1024, target_fps=60.0)
+        inv = InverseMelSpectrogram(ex, n_iter=4)
+        rec = np.asarray(inv(ex(tone(0.5))))
+        assert rec.ndim == 2 and np.isfinite(rec).all()
+
+    def test_opensmile_named_extractor_reference_defaults(self):
+        """OpenSMILEeGeMAPSExtractor keeps the reference's constructor
+        surface and its use_concatenation=False default (88-D)."""
+        from koemorph_tpu.features import OpenSMILEeGeMAPSExtractor
+
+        ex = OpenSMILEeGeMAPSExtractor(
+            feature_set="eGeMAPSv02", feature_level="Functionals",
+            enable_caching=True, device="cpu")
+        assert ex.feature_dim == 88
+        with pytest.raises(ValueError, match="feature_set"):
+            OpenSMILEeGeMAPSExtractor(feature_set="ComParE_2016")
+        with pytest.raises(ValueError, match="feature_level"):
+            OpenSMILEeGeMAPSExtractor(feature_level="LLD")

@@ -54,41 +54,18 @@ def modules():
 
 
 def transplant(ref) -> dict:
-    """Torch state_dict -> our Flax param tree."""
+    """Torch state_dict -> our Flax param tree.
+
+    Delegates to the production mapping
+    (koemorph_tpu.utils.torch_import.attention_params_from_state_dict) so
+    the parity tests pin the SAME code the checkpoint importer ships —
+    one mapping, no drift.
+    """
+    from koemorph_tpu.utils.torch_import import (
+        attention_params_from_state_dict)
+
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-
-    def lin(prefix):
-        return {"kernel": sd[f"{prefix}.weight"].T,
-                "bias": sd[f"{prefix}.bias"]}
-
-    def ln(prefix):
-        return {"scale": sd[f"{prefix}.weight"],
-                "bias": sd[f"{prefix}.bias"]}
-
-    def mha(prefix):
-        return {
-            "in_proj_weight": sd[f"{prefix}.in_proj_weight"],
-            "in_proj_bias": sd[f"{prefix}.in_proj_bias"],
-            "out_proj": lin(f"{prefix}.out_proj"),
-        }
-
-    return {
-        "mouth_queries": sd["mouth_queries"],
-        "expression_queries": sd["expression_queries"],
-        "mel_weights": sd["mel_weights"],
-        "emotion_weights": sd["emotion_weights"],
-        "mel_channel_encoder": lin("mel_channel_encoder"),
-        "mel_norm": ln("mel_norm"),
-        "emotion_norm": ln("emotion_norm"),
-        "emotion_encoder": lin("emotion_encoder"),
-        "mel_attention": mha("mel_attention"),
-        "emotion_attention": mha("emotion_attention"),
-        "mel_output_proj": lin("mel_output_proj"),
-        "emotion_output_proj": lin("emotion_output_proj"),
-        # reference Sequential: [0]=Linear(d, d/2), [3]=Linear(d/2, 1)
-        "decoder_hidden": lin("blendshape_decoder.0"),
-        "decoder_out": lin("blendshape_decoder.3"),
-    }
+    return attention_params_from_state_dict(sd)
 
 
 def random_inputs(rng, b=2):

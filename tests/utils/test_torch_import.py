@@ -109,3 +109,46 @@ class TestCheckpointImport:
         sd = load_torch_state_dict(pth)
         assert "mouth_queries" in sd
         assert isinstance(sd["mouth_queries"], np.ndarray)
+
+
+class TestImportValidation:
+    def test_wrong_d_model_fails_fast(self, tmp_path):
+        from koemorph_tpu.models.dual_stream_model import (
+            SimplifiedDualStreamModel)
+        from koemorph_tpu.utils.torch_import import import_torch_checkpoint
+
+        ref = torch_attention()        # d_model = 64
+        sd = {f"dual_stream_attention.{k}": v
+              for k, v in ref.state_dict().items()}
+        pth = tmp_path / "m.pth"
+        torch.save({"model_state_dict": sd}, pth)
+        model = SimplifiedDualStreamModel(
+            d_model=128, num_heads=H, mel_sequence_length=W,
+            emotion_backend="basic", use_concatenation=False,
+            target_fps=30, dropout=0.0)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            import_torch_checkpoint(pth, model, tmp_path / "out")
+
+    def test_fusion_weights_dropped_for_fixed_fusion_model(self, tmp_path):
+        """The reference stores fusion weights as buffers even in fixed
+        mode, so every reference checkpoint carries them; importing into
+        a use_learnable_weights=False model drops them (the fixed masks
+        are recomputed statically — identical values) instead of writing
+        orphan params."""
+        from koemorph_tpu.models.dual_stream_model import (
+            SimplifiedDualStreamModel)
+        from koemorph_tpu.train.checkpoint import load_checkpoint
+        from koemorph_tpu.utils.torch_import import import_torch_checkpoint
+
+        ref = torch_attention()
+        sd = {f"dual_stream_attention.{k}": v
+              for k, v in ref.state_dict().items()}
+        pth = tmp_path / "learnable.pth"
+        torch.save({"model_state_dict": sd}, pth)
+        model = SimplifiedDualStreamModel(
+            d_model=D, num_heads=H, mel_sequence_length=W,
+            emotion_backend="basic", use_concatenation=False,
+            target_fps=30, dropout=0.0, use_learnable_weights=False)
+        out = import_torch_checkpoint(pth, model, tmp_path / "out")
+        params, _ = load_checkpoint(out)
+        assert "mel_weights" not in params["dual_stream_attention"]
