@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from koemorph_tpu.ops.f0 import yin_f0
+from koemorph_tpu.ops.f0 import yin_core
 from koemorph_tpu.ops.mel import mel_filterbank
-from koemorph_tpu.ops.window import frame_signal, hann_window
+from koemorph_tpu.ops.window import hann_window
 
 # ---------------------------------------------------------------------------
 # feature name layout (88)
@@ -97,6 +97,11 @@ class EgemapsConfig:
     f0_min: float = 55.0
     f0_max: float = 500.0
     lpc_order: int = 10
+    # MXU pass count for the DFT/ACF matmuls: "high" (3-pass bf16,
+    # ~1e-6 relative) halves their cost vs "highest" (6-pass f32
+    # emulation) with no behavioral drift in the analytic test battery;
+    # dB-scale outputs and CMNDF ratios tolerate it comfortably.
+    precision: str = "high"
 
 
 # ---------------------------------------------------------------------------
@@ -248,56 +253,87 @@ def _levinson(r: jnp.ndarray, order: int) -> jnp.ndarray:
     """Levinson-Durbin: autocorrelation (..., order+1) -> inverse (error)
     filter coefficients A = [1, a_1, ..., a_p] such that
     ``A @ [x_n, x_{n-1}, ...]`` is the prediction residual. Unrolled (order
-    is small and static); validated against a direct Toeplitz solve."""
+    is small and static) as a pure elementwise DAG over per-order arrays —
+    no dynamic-update-slices, so XLA fuses the whole recursion into one
+    kernel (the ``.at[].set`` form cost ~0.3 ms at the batched-decode
+    operating point). Validated against a direct Toeplitz solve."""
     # run the recursion in predictor convention (x_n ~= sum p_j x_{n-j}) ...
-    p = jnp.zeros(r.shape[:-1] + (order + 1,), r.dtype)
+    p: list = [None] * (order + 1)
     err = r[..., 0] + 1e-9
     for i in range(1, order + 1):
         acc = jnp.zeros_like(err)
         for j in range(1, i):
-            acc = acc + p[..., j] * r[..., i - j]
+            acc = acc + p[j] * r[..., i - j]
         k = (r[..., i] - acc) / err
-        new_p = p
-        for j in range(1, i):
-            new_p = new_p.at[..., j].set(p[..., j] - k * p[..., i - j])
-        new_p = new_p.at[..., i].set(k)
-        p = new_p
+        updated = {j: p[j] - k * p[i - j] for j in range(1, i)}
+        for j, v in updated.items():
+            p[j] = v
+        p[i] = k
         err = err * (1.0 - k * k) + 1e-12
     # ... then flip to the error-filter polynomial: A = [1, -p_1, ..., -p_p]
-    return (-p).at[..., 0].set(1.0)
+    return jnp.stack([jnp.ones_like(err)] + [-p[j]
+                     for j in range(1, order + 1)], axis=-1)
 
 
-def _formants_from_envelope(env_db: jnp.ndarray, freqs: np.ndarray,
-                            n_formants: int = 3):
-    """First ``n_formants`` peaks of an LPC envelope (dB) on a fixed grid.
+def _poly_roots_dk(a: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
+    """All ``p`` complex roots of the monic polynomial
+    ``P(x) = x^p + a_1 x^{p-1} + ... + a_p`` (coefficients ``a`` of shape
+    (..., p+1) with ``a[..., 0] == 1``) by Durand-Kerner (Weierstrass)
+    iteration — simultaneous Newton-like updates of all roots, pure
+    elementwise complex arithmetic, so it runs fused on the VPU with
+    static shapes (vs host ``np.roots``' eigendecomposition, unavailable
+    on TPU). LPC polynomials from Levinson are minimum-phase (roots
+    strictly inside the unit circle), for which the fixed 32 iterations
+    converge to well below float32 resolution; validated against
+    ``np.roots`` in tests/ops/test_egemaps.py."""
+    p = a.shape[-1] - 1
+    ac = a.astype(jnp.complex64)
+    k = np.arange(p)
+    # distinct non-symmetric starting points on a 0.9 circle
+    z0 = (0.9 * np.exp(2j * np.pi * (k + 0.35) / p)).astype(np.complex64)
+    z = jnp.broadcast_to(z0, a.shape[:-1] + (p,))
 
-    Returns (freq, bandwidth, amp_db) each (..., n_formants). Peaks are local
-    maxima ranked by frequency; bandwidth is a -3 dB half-width proxy.
+    def poly(x):
+        res = jnp.broadcast_to(ac[..., 0:1], x.shape)
+        for i in range(1, p + 1):
+            res = res * x + ac[..., i][..., None]
+        return res
+
+    eye = np.eye(p, dtype=bool)
+    for _ in range(iters):
+        diff = z[..., :, None] - z[..., None, :]
+        diff = jnp.where(eye, jnp.ones((), jnp.complex64), diff)
+        denom = jnp.prod(diff, axis=-1)
+        small = jnp.abs(denom) < 1e-12
+        denom = jnp.where(small, jnp.ones((), jnp.complex64), denom)
+        step = poly(z) / denom
+        z = z - jnp.where(small, jnp.zeros((), jnp.complex64), step)
+    return z
+
+
+def _spectral_peak_db(mag_db: jnp.ndarray, center_bin: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Peak dB near ``center_bin``: local max over the nearest bins
+    (flooring the bin index alone reads the leakage skirt and
+    underestimates by up to ~1.5 dB at 512-point DFT).
+
+    ``mag_db`` is (..., T, n_bins); ``center_bin`` (..., T, K) int32.
+    Returns (..., T, K). All K lookups plus the three +/-1 shifts run as
+    ONE take_along_axis: TPU gathers pay per launched gather, not per
+    fetched column, and the round-3 profile measured ~0.2 ms per gather
+    at the batched-decode operating point — batch every per-frame bin
+    lookup you can into a single call.
     """
-    prev = jnp.concatenate([env_db[..., :1] - 1, env_db[..., :-1]], axis=-1)
-    nxt = jnp.concatenate([env_db[..., 1:], env_db[..., -1:] - 1], axis=-1)
-    is_peak = (env_db >= prev) & (env_db > nxt) & (freqs[None, :] > 200.0)
-
-    # rank peaks by frequency: take the first 3 via top-k on (is_peak * -freq)
-    score = jnp.where(is_peak, -freqs[None, :], -np.inf)
-    top_score, idx = jax.lax.top_k(score, n_formants)
-    # entries with -inf score are not peaks; pin them to the last grid slot
-    # so sorting puts real (low-frequency) peaks first
-    valid = jnp.isfinite(top_score)
-    idx = jnp.where(valid, idx, env_db.shape[-1] - 1)
-    idx = jnp.sort(idx, axis=-1)
-
-    f = jnp.take(jnp.asarray(freqs), idx)
-    amp = jnp.take_along_axis(env_db, idx, axis=-1)
-    # -3 dB bandwidth proxy from local curvature
-    y0 = jnp.take_along_axis(prev, idx, axis=-1)
-    y2 = jnp.take_along_axis(nxt, idx, axis=-1)
-    curv = jnp.maximum(2 * amp - y0 - y2, 1e-3)
-    df = float(freqs[1] - freqs[0])
-    bw = 2.0 * df * jnp.sqrt(jnp.maximum(2.0 * 3.0 / curv, 0.0))
-    has_peak = jnp.take_along_axis(is_peak, idx, axis=-1)
-    return (jnp.where(has_peak, f, 0.0), jnp.where(has_peak, bw, 0.0),
-            jnp.where(has_peak, amp, 0.0), has_peak)
+    # 3-point local max as an elementwise pre-pass over the whole
+    # spectrum (2 shifted maxes, ~free) so the data-dependent lookup
+    # gathers K columns instead of 3K — TPU gather cost measured ~0.13 ms
+    # per gathered column at the batched-decode operating point
+    m3 = jnp.maximum(
+        mag_db,
+        jnp.maximum(
+            jnp.concatenate([mag_db[..., :1], mag_db[..., :-1]], axis=-1),
+            jnp.concatenate([mag_db[..., 1:], mag_db[..., -1:]], axis=-1)))
+    return jnp.take_along_axis(m3, center_bin, axis=-1)
 
 
 class LldCarry(NamedTuple):
@@ -391,20 +427,23 @@ def compute_lld_block(
     the ring.
     """
     hop = cfg.hop_length
-    f0res = yin_f0(chunk, sample_rate=cfg.sample_rate, frame_length=512,
-                   hop_length=hop, f0_min=cfg.f0_min, f0_max=cfg.f0_max,
-                   center=False)
-    f0 = f0res.f0_hz
-    voiced = f0res.voiced_flag
-    n_new = f0.shape[-1]
+    # one framing + one autocorrelation serve YIN *and* HNR: the ACF is
+    # extended past YIN's tau_max to the deepest lag a voiced F0 can
+    # request (f0 >= 0.9 * f0_min after parabolic refinement)
+    n_acf = int(np.ceil(cfg.sample_rate / (cfg.f0_min * 0.9))) + 2
+    core = yin_core(chunk, sample_rate=cfg.sample_rate, frame_length=512,
+                    hop_length=hop, f0_min=cfg.f0_min, f0_max=cfg.f0_max,
+                    center=False, n_acf_lags=n_acf, precision=cfg.precision)
+    f0 = core.result.f0_hz
+    voiced = core.result.voiced_flag
 
-    # 25 ms spectral frames centered inside each YIN window
+    # 25 ms spectral frames = centered slice of the 512-sample YIN frames
+    # (identical values to re-framing the chunk, at zero framing cost)
     off = (512 - cfg.frame_length) // 2
-    span = (n_new - 1) * hop + cfg.frame_length
-    seg = jax.lax.slice_in_dim(chunk, off, off + span, axis=-1)
-    frames = frame_signal(seg, cfg.frame_length, hop, center=False)
+    frames = core.frames[..., off:off + cfg.frame_length]
     wframes = frames * hann_window(cfg.frame_length)
-    return _lld_math(frames, wframes, f0, voiced, cfg, carry=carry)
+    return _lld_math(frames, wframes, f0, voiced, cfg, carry=carry,
+                     yin_acf=core.acf, yin_frame_length=512)
 
 
 def _lld_math(
@@ -414,12 +453,17 @@ def _lld_math(
     voiced: jnp.ndarray,       # (..., T) bool
     cfg: EgemapsConfig,
     carry: LldCarry | None,
+    yin_acf: jnp.ndarray | None = None,   # (..., T, lags) shared YIN ACF
+    yin_frame_length: int = 512,
 ) -> tuple[dict[str, jnp.ndarray], LldCarry]:
     """Shared LLD math. ``carry=None`` duplicates each pairwise LLD's first
     frame as its predecessor (zero flux/jitter/shimmer at frame 0 — the
     monolithic semantics); a :class:`LldCarry` makes chunked computation
-    exactly continuous with the previous chunk."""
+    exactly continuous with the previous chunk. ``yin_acf`` reuses the
+    autocorrelation YIN already computed for the HNR (one transform
+    instead of two over the same samples)."""
     sr = cfg.sample_rate
+    prec = cfg.precision
 
     f0_semitone = jnp.where(
         f0 > 0, 12.0 * jnp.log2(jnp.maximum(f0, 1e-3) / 27.5), 0.0)
@@ -428,16 +472,24 @@ def _lld_math(
     from koemorph_tpu.ops.stft import autocorr_matmul, power_spectrum_matmul
 
     mag = jnp.sqrt(jnp.maximum(
-        power_spectrum_matmul(wframes, cfg.n_fft), 0.0)) + 1e-10
+        power_spectrum_matmul(wframes, cfg.n_fft, precision=prec),
+        0.0)) + 1e-10
     power = mag * mag
     n_bins = cfg.n_fft // 2 + 1
     freqs = np.linspace(0, sr / 2, n_bins).astype(np.float32)
     bin_hz = sr / cfg.n_fft
 
-    # --- loudness proxy: auditory (mel) energy ^ 0.3 (Stevens law) ---
+    # --- loudness: 26-band auditory spectrum, per-band specific loudness
+    # (intensity^0.3, Stevens law) summed across bands — the eGeMAPS
+    # definition (Eyben et al. 2016 III-A: "loudness estimate from an
+    # auditory spectrum"; the per-band exponent is what distinguishes an
+    # auditory loudness from plain broadband energy^0.3) ---
     fb = mel_filterbank(sr, cfg.n_fft, 26, 20.0, sr / 2, htk=True, norm=None)
     mel_energy = jnp.matmul(power, fb)
-    loudness = jnp.power(jnp.sum(mel_energy, axis=-1) + 1e-10, 0.3)
+    # the epsilon keeps gradients finite at zero energy (the model trains
+    # through these features); its floor is subtracted so silence stays ~0
+    loudness = (jnp.sum(jnp.power(mel_energy + 1e-10, 0.3), axis=-1)
+                - 26 * 1e-3)
 
     # --- pairwise LLD predecessors (carry-aware) ---
     period = jnp.where(f0 > 0, 1.0 / jnp.maximum(f0, 1e-3), 0.0)
@@ -470,9 +522,17 @@ def _lld_math(
                               - jnp.log10(amp_prev + 1e-9)))
     shimmer = jnp.where(pair_voiced, shimmer, 0.0)
 
-    # --- HNR via autocorrelation at the F0 lag ---
-    n_hnr_lags = int(np.ceil(sr / max(cfg.f0_min * 0.9, 1.0))) + 2
-    acf = autocorr_matmul(frames, n_hnr_lags)
+    # --- HNR via autocorrelation at the F0 lag (shared with YIN: one
+    # framing + one transform serve both; the ACF of the 512-sample YIN
+    # frame is as valid an HNR estimator as a separate 25 ms-frame ACF
+    # and removes a (T, 400) x (400, 365) GEMM pair from the hot path) ---
+    if yin_acf is not None:
+        acf = yin_acf
+        n_frame = yin_frame_length
+    else:
+        n_hnr_lags = int(np.ceil(sr / max(cfg.f0_min * 0.9, 1.0))) + 2
+        acf = autocorr_matmul(frames, n_hnr_lags, precision=prec)
+        n_frame = frames.shape[-1]
     r0 = acf[..., 0] + 1e-12
     lag = jnp.clip((sr / jnp.maximum(f0, 1.0)).astype(jnp.int32), 1,
                    acf.shape[-1] - 1)
@@ -481,30 +541,13 @@ def _lld_math(
     # sums only N-tau products, biasing r_lag/r0 down by (N-tau)/N — for a
     # 200 Hz tone in a 25 ms frame that caps HNR at ~6 dB. Scale by
     # N/(N-tau) so a pure tone saturates the clip (~40 dB) as it should.
-    n_frame = frames.shape[-1]
     unbias = n_frame / jnp.maximum(
         n_frame - lag.astype(jnp.float32), 1.0)
     ratio = jnp.clip(r_lag * unbias / r0, 1e-4, 1 - 1e-4)
     hnr_db = 10.0 * jnp.log10(ratio / (1.0 - ratio))
     hnr_db = jnp.where(voiced, hnr_db, 0.0)
 
-    # --- harmonic differences H1-H2, H1-A3 ---
     mag_db = 20.0 * jnp.log10(mag)
-
-    def harmonic_db(mult):
-        """Peak dB of the harmonic near mult*f0: local max over the
-        nearest bins (flooring the bin index alone reads the leakage
-        skirt and underestimates by up to ~1.5 dB at 512-point DFT)."""
-        center = jnp.clip(jnp.round(mult * f0 / bin_hz).astype(jnp.int32),
-                          1, n_bins - 2)
-        vals = [jnp.take_along_axis(mag_db, jnp.clip(
-            center + d, 0, n_bins - 1)[..., None], axis=-1)[..., 0]
-            for d in (-1, 0, 1)]
-        return jnp.maximum(jnp.maximum(vals[0], vals[1]), vals[2])
-
-    h1 = harmonic_db(1.0)
-    h2 = harmonic_db(2.0)
-    h1_h2 = jnp.where(voiced, h1 - h2, 0.0)
 
     # --- band energies for alpha ratio / hammarberg / slopes ---
     def band(lo, hi):
@@ -538,21 +581,51 @@ def _lld_math(
     dct = jnp.asarray(_mfcc_dct(26, 4))
     mfcc = jnp.einsum("...tm,km->...tk", log_mel, dct)
 
-    # --- formants via LPC envelope (windowed-frame autocorrelation) ---
-    r = autocorr_matmul(wframes, cfg.lpc_order + 1)
+    # --- formants via LPC root-solving (the real algorithm, replacing
+    # round-2's 128-point envelope-peak proxy): Levinson -> polynomial
+    # roots (Durand-Kerner) -> centre frequency from the root angle and
+    # EXACT -3 dB bandwidth from the root radius, bw = -ln|z| * sr / pi
+    # (Markel & Gray; what Praat/openSMILE derive from the same roots) ---
+    r = autocorr_matmul(wframes, cfg.lpc_order + 1, precision=prec)
+    # white-noise correction (standard LPC conditioning, e.g. Praat's
+    # noise floor): near-pure tones otherwise drive Levinson degenerate
+    # (prediction error -> 0) and scatter clustered unit-circle roots
+    r = jnp.concatenate([r[..., :1] * (1.0 + 1e-4), r[..., 1:]], axis=-1)
     a = _levinson(r, cfg.lpc_order)
-    # envelope on a 128-point grid up to 4 kHz
-    grid = np.linspace(50.0, 4000.0, 128).astype(np.float32)
-    omega = 2 * np.pi * grid / sr
-    k = np.arange(cfg.lpc_order + 1)
-    e_re = np.cos(np.outer(omega, k)).astype(np.float32)  # (G, order+1)
-    e_im = np.sin(np.outer(omega, k)).astype(np.float32)
-    a_re = jnp.einsum("...k,gk->...g", a, jnp.asarray(e_re))
-    a_im = jnp.einsum("...k,gk->...g", a, jnp.asarray(e_im))
-    env_db = -10.0 * jnp.log10(a_re * a_re + a_im * a_im + 1e-10)
-    fmt_f, fmt_bw, fmt_amp, fmt_valid = _formants_from_envelope(env_db, grid)
-    # amplitude relative to H1 (log-rel-F0); frames missing the formant are
-    # zeroed AND excluded from the functionals via formant_valid
+    roots = _poly_roots_dk(a)
+    ang = jnp.angle(roots)                       # conjugate pairs: use +ang
+    radius = jnp.abs(roots)
+    cand_f = ang * (sr / (2.0 * np.pi))
+    cand_bw = -jnp.log(jnp.clip(radius, 1e-4, 1.0 - 1e-6)) * (sr / np.pi)
+    cand_ok = ((cand_f > 200.0) & (cand_f < 5450.0) & (cand_bw < 2000.0)
+               & jnp.isfinite(cand_f))
+    # F1..F3 = the three lowest-frequency valid roots, ascending
+    neg_f = jnp.where(cand_ok, -cand_f, -jnp.inf)
+    top, idx = jax.lax.top_k(neg_f, 3)           # 3 smallest freqs
+    fmt_valid = jnp.isfinite(top)
+    fmt_f = jnp.where(fmt_valid, -top, 0.0)
+    fmt_bw = jnp.where(fmt_valid,
+                       jnp.take_along_axis(cand_bw, idx, axis=-1), 0.0)
+
+    # --- spectral peak lookups, ONE batched gather: H1, H2, and the
+    # harmonic-resolved formant amplitudes A1..A3 (eGeMAPS definition:
+    # energy of the spectral harmonic peak nearest the formant centre
+    # frequency, relative to the F0 peak H1 — not the LPC envelope
+    # height) ---
+    k_harm = jnp.clip(jnp.round(fmt_f / jnp.maximum(f0, 1.0)[..., None]),
+                      1.0, 64.0)
+    mults = jnp.concatenate(
+        [jnp.ones_like(f0)[..., None], jnp.full_like(f0, 2.0)[..., None],
+         k_harm], axis=-1)                           # (..., T, 5)
+    centers = jnp.clip(jnp.round(mults * f0[..., None] / bin_hz)
+                       .astype(jnp.int32), 1, n_bins - 2)
+    peaks = _spectral_peak_db(mag_db, centers)       # (..., T, 5)
+    h1 = peaks[..., 0]
+    h2 = peaks[..., 1]
+    fmt_amp = peaks[..., 2:5]
+    h1_h2 = jnp.where(voiced, h1 - h2, 0.0)
+    # frames missing the formant are zeroed AND excluded from the
+    # functionals via formant_valid
     fmt_rel = jnp.where(voiced[..., None] & fmt_valid,
                         fmt_amp - h1[..., None], 0.0)
     h1_a3 = jnp.where(voiced & fmt_valid[..., 2],
@@ -609,18 +682,24 @@ def functionals_from_llds(
 
     # sma3: smooth every contour before reducing (voiced-only for the
     # *nz* contours, all-frame for loudness/spectral) — matches the
-    # OpenSMILE preprocessing the feature names advertise
-    nz = lambda key: _sma3(lld[key], within=raw_voiced)  # noqa: E731
+    # OpenSMILE preprocessing the feature names advertise. Smoothing is
+    # restricted to frames inside ``frame_mask`` so each offset window's
+    # last frame never averages in the first excluded (future) frame —
+    # the reference's separate truncated-audio OpenSMILE invocations
+    # (opensmile_extractor.py:460-502) never see past the window end.
+    nz_within = raw_voiced & all_mask
+    nz = lambda key: _sma3(lld[key], within=nz_within)  # noqa: E731
     lld = dict(lld)
     for key in ("f0_semitone", "jitter", "shimmer_db", "hnr_db",
                 "h1_h2", "h1_a3"):
         lld[key] = nz(key)
     for key in ("loudness", "alpha_ratio", "hammarberg", "slope_0_500",
                 "slope_500_1500", "spectral_flux"):
-        lld[key] = _sma3(lld[key])
-    lld["mfcc"] = jnp.swapaxes(_sma3(jnp.swapaxes(lld["mfcc"], -1, -2)),
-                               -1, -2)
-    fmt_within = raw_voiced[..., None, :] & jnp.swapaxes(
+        lld[key] = _sma3(lld[key], within=all_mask)
+    lld["mfcc"] = jnp.swapaxes(
+        _sma3(jnp.swapaxes(lld["mfcc"], -1, -2),
+              within=all_mask[..., None, :]), -1, -2)
+    fmt_within = nz_within[..., None, :] & jnp.swapaxes(
         lld["formant_valid"], -1, -2)
     for key in ("formant_freq", "formant_bw", "formant_rel"):
         lld[key] = jnp.swapaxes(

@@ -3,20 +3,25 @@
 Replaces librosa.yin / librosa.pyin host calls (reference
 src/features/prosody.py:118-126, src/features/emotion_extractor.py:521).
 
-The difference function is computed in O(N log N) per frame via the
-autocorrelation identity
-``d(tau) = r(0) + r_tau(tau) - 2 c(tau)`` where ``c`` is the frame
-autocorrelation (rFFT) and ``r_tau`` comes from a cumulative sum of squares,
-so the whole extractor is static-shape jnp: framing -> batched rFFT ->
-elementwise -> argmin with threshold, plus parabolic interpolation. Voicing
-probability is derived from the CMNDF minimum (soft version of pyin's
-voiced flag).
+The difference function ``d(tau) = r0 + r_tau - 2 c(tau)`` is assembled
+from MXU-friendly pieces: the cross-term ``c`` via the Wiener-Khinchin
+autocorrelation identity as matmul DFTs (TPU has no native FFT), and the
+energy terms ``r0``/``r_tau`` from a frame-local running energy — a
+cumulative sum over the ``tau`` axis (length ``tau_max``) of slice
+differences, NOT over the full frame axis. The frame-axis cumsum was the
+single most expensive op in the round-2 eGeMAPS profile (~2 ms of the
+8.4 ms LLD budget at the batched-decode operating point); the tau-axis
+form is ~4x smaller and remains bit-reproducible across streaming chunk
+boundaries because every quantity is computed per frame.
+
+Voicing probability is derived from the CMNDF minimum (soft version of
+pyin's voiced flag).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +35,16 @@ class F0Result(NamedTuple):
     voiced_flag: jnp.ndarray  # (..., T) bool
 
 
+class YinCore(NamedTuple):
+    """yin_f0 result plus reusable intermediates (shared-work path for
+    the eGeMAPS LLD chain, which needs the same frames and a longer-lag
+    autocorrelation for HNR)."""
+
+    result: F0Result
+    frames: jnp.ndarray    # (..., T, frame_length) raw signal frames
+    acf: jnp.ndarray       # (..., T, n_acf_lags) full-frame autocorrelation
+
+
 @functools.lru_cache(maxsize=16)
 def _tau_range(sample_rate: int, f0_min: float, f0_max: float
                ) -> tuple[int, int]:
@@ -38,7 +53,29 @@ def _tau_range(sample_rate: int, f0_min: float, f0_max: float
     return tau_min, tau_max
 
 
-def yin_frame_difference(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
+@functools.lru_cache(maxsize=8)
+def _tri_ones_np(n: int) -> np.ndarray:
+    # T[i, j] = 1 for j >= i, so x @ T is an inclusive prefix sum
+    return np.triu(np.ones((n, n), np.float32))
+
+
+def _cumsum_matmul(x: jnp.ndarray, precision: str) -> jnp.ndarray:
+    """Inclusive prefix sum along the last axis as a triangular matmul.
+
+    XLA's native cumsum lowers to a VPU pass chain that measured ~0.08
+    TF/s on the YIN lag axis (the single hottest op left in the round-3
+    eGeMAPS profile at ~1 ms); the MXU runs the same reduction as a
+    (..., n) x (n, n) triangular GEMM an order of magnitude faster for
+    the short (~300-lag) axes YIN uses. At ``precision='high'`` the
+    3-pass bf16 accumulation is within ~1e-6 relative of the sequential
+    sum. Only sensible for short trailing axes (FLOPs scale as n^2).
+    """
+    tri = jnp.asarray(_tri_ones_np(x.shape[-1]), dtype=x.dtype)
+    return jnp.matmul(x, tri, precision=precision)
+
+
+def yin_frame_difference(frames: jnp.ndarray, tau_max: int,
+                         precision: str = "highest") -> jnp.ndarray:
     """YIN difference function d(tau) for tau in [0, tau_max].
 
     Args:
@@ -48,43 +85,54 @@ def yin_frame_difference(frames: jnp.ndarray, tau_max: int) -> jnp.ndarray:
     Returns:
         (..., T, tau_max + 1) difference values.
     """
+    d, _acf = _yin_difference_and_acf(frames, tau_max, tau_max + 1,
+                                      precision)
+    return d
+
+
+def _yin_difference_and_acf(frames: jnp.ndarray, tau_max: int,
+                            n_acf_lags: int, precision: str
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(d(tau) for tau in [0, tau_max], full-frame acf[0, n_acf_lags)).
+
+    The full-frame autocorrelation is computed once at
+    ``max(tau_max + 1, n_acf_lags)`` lags so callers needing longer lags
+    (eGeMAPS HNR at the F0 lag) share the one DFT instead of running a
+    second autocorrelation over the same frames.
+    """
     n = frames.shape[-1]
     w = n - tau_max
     if w <= 0:
         raise ValueError(f"frame length {n} must exceed tau_max {tau_max}")
 
-    # autocorrelation c(tau) = sum_j x_j x_{j+tau} over the full frame,
-    # restricted to j < W via the 'smart' YIN trick: compute full-frame
-    # autocorr of x and of the tail, then combine with cumulative energies.
-    # Autocorrelations run as MXU matmuls (Wiener-Khinchin) — TPU has no
-    # native FFT and XLA's FFT lowering is ~100x slower at these sizes.
+    # cross-term c(tau) = sum_{j<W} x_j x_{j+tau} via the 'smart' YIN
+    # trick: full-frame autocorr minus the tail's autocorr. Matmul DFTs
+    # (Wiener-Khinchin) — XLA's FFT lowering is ~100x slower here.
     from koemorph_tpu.ops.stft import autocorr_matmul
 
-    acf_full = autocorr_matmul(frames, tau_max + 1)
-    # subtract the contribution of j >= W: sum_{j=W}^{n-1-tau} x_j x_{j+tau}
+    acf_full = autocorr_matmul(frames, max(tau_max + 1, n_acf_lags),
+                               precision=precision)
     tail = frames[..., w:]
-    acf_tail = autocorr_matmul(tail, tau_max + 1)
-    c = acf_full - acf_tail  # c(tau) = sum_{j=0}^{W-1} x_j x_{j+tau}
+    acf_tail = autocorr_matmul(tail, tau_max + 1, precision=precision)
+    c = acf_full[..., : tau_max + 1] - acf_tail
 
+    # energy terms, frame-locally: r0 = sum_{j<W} x_j^2 (one reduce);
+    # r_tau(tau) = r_tau(tau-1) + x_{tau+W-1}^2 - x_{tau-1}^2, i.e. a
+    # cumsum over the SHORT tau axis of a slice difference
     sq = frames * frames
-    csum = jnp.cumsum(sq, axis=-1)
-    r0 = csum[..., w - 1 : w]                      # sum_{j<W} x_j^2
-    # r_tau = sum_{j<W} x_{j+tau}^2 = csum[tau+W-1] - csum[tau-1]
-    idx_hi = jnp.arange(tau_max + 1) + w - 1
-    hi = jnp.take(csum, idx_hi, axis=-1)
-    lo = jnp.concatenate(
-        [jnp.zeros_like(csum[..., :1]),
-         jnp.take(csum, jnp.arange(tau_max), axis=-1)], axis=-1)
-    r_tau = hi - lo
+    r0 = jnp.sum(sq[..., :w], axis=-1, keepdims=True)
+    diff = sq[..., w:] - sq[..., : tau_max]         # (..., T, tau_max)
+    r_tau = r0 + jnp.concatenate(
+        [jnp.zeros_like(r0), _cumsum_matmul(diff, precision)], axis=-1)
 
     d = r0 + r_tau - 2.0 * c
-    return jnp.maximum(d, 0.0)
+    return jnp.maximum(d, 0.0), acf_full
 
 
-def cmndf(d: jnp.ndarray) -> jnp.ndarray:
+def cmndf(d: jnp.ndarray, precision: str = "highest") -> jnp.ndarray:
     """Cumulative-mean-normalized difference function d'(tau)."""
     tau = jnp.arange(d.shape[-1], dtype=d.dtype)
-    cum = jnp.cumsum(d, axis=-1)
+    cum = _cumsum_matmul(d, precision)
     out = d * tau / jnp.maximum(cum, 1e-12)
     return out.at[..., 0].set(1.0)
 
@@ -105,6 +153,30 @@ def yin_f0(
     Frames with CMNDF minimum above ~3x threshold are marked unvoiced with
     f0 = 0 (librosa.pyin ``fill_na=0`` semantics).
     """
+    return yin_core(
+        audio, sample_rate=sample_rate, frame_length=frame_length,
+        hop_length=hop_length, f0_min=f0_min, f0_max=f0_max,
+        threshold=threshold, center=center).result
+
+
+def yin_core(
+    audio: jnp.ndarray,
+    *,
+    sample_rate: int = 16000,
+    frame_length: int = 1024,
+    hop_length: int = 160,
+    f0_min: float = 50.0,
+    f0_max: float = 400.0,
+    threshold: float = 0.15,
+    center: bool = True,
+    n_acf_lags: Optional[int] = None,
+    precision: str = "highest",
+) -> YinCore:
+    """:func:`yin_f0` plus the frames and full-frame autocorrelation it
+    computed along the way (see :class:`YinCore`). ``n_acf_lags`` extends
+    the returned autocorrelation beyond YIN's own ``tau_max + 1`` lags at
+    marginal cost (the eGeMAPS HNR shares it instead of re-framing and
+    re-transforming the same samples)."""
     tau_min, tau_max = _tau_range(sample_rate, f0_min, f0_max)
     if frame_length <= tau_max + 8:
         raise ValueError(
@@ -112,8 +184,9 @@ def yin_f0(
             f"(needs > {tau_max + 8})")
 
     frames = frame_signal(audio, frame_length, hop_length, center=center)
-    d = yin_frame_difference(frames, tau_max)
-    dprime = cmndf(d)
+    d, acf = _yin_difference_and_acf(frames, tau_max,
+                                     n_acf_lags or (tau_max + 1), precision)
+    dprime = cmndf(d, precision)
 
     # search region [tau_min, tau_max]
     region = dprime[..., tau_min:]
@@ -127,15 +200,15 @@ def yin_f0(
     idx_min = jnp.argmin(region, axis=-1)            # global min fallback
     pick = jnp.where(any_below[..., 0], idx, idx_min) + tau_min
 
-    # parabolic interpolation around pick
-    def gather(x, i):
-        return jnp.take_along_axis(x, i[..., None], axis=-1)[..., 0]
-
+    # parabolic interpolation around pick — one width-3 gather (TPU
+    # gathers pay per column; three separate take_along_axis calls
+    # measured ~2x the cost)
     tau_max_idx = dprime.shape[-1] - 1
     i0 = jnp.clip(pick - 1, 0, tau_max_idx)
     i2 = jnp.clip(pick + 1, 0, tau_max_idx)
-    y0, y1, y2 = (gather(dprime, i0), gather(dprime, pick),
-                  gather(dprime, i2))
+    ys = jnp.take_along_axis(
+        dprime, jnp.stack([i0, pick, i2], axis=-1), axis=-1)
+    y0, y1, y2 = ys[..., 0], ys[..., 1], ys[..., 2]
     denom = y0 - 2 * y1 + y2
     offset = jnp.where(jnp.abs(denom) > 1e-12,
                        0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12,
@@ -145,7 +218,7 @@ def yin_f0(
     tau_refined = pick.astype(jnp.float32) + offset
 
     f0 = sample_rate / jnp.maximum(tau_refined, 1.0)
-    dp_min = gather(dprime, pick)
+    dp_min = y1
     # energy gate: silent frames have a degenerate (all-zero) difference
     # function that would otherwise read as perfectly periodic
     rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
@@ -156,4 +229,5 @@ def yin_f0(
     f0 = jnp.where(voiced, f0, 0.0)
     f0 = jnp.where((f0 >= f0_min * 0.9) & (f0 <= f0_max * 1.1), f0, 0.0)
     voiced = voiced & (f0 > 0)
-    return F0Result(f0_hz=f0, voiced_prob=voiced_prob, voiced_flag=voiced)
+    result = F0Result(f0_hz=f0, voiced_prob=voiced_prob, voiced_flag=voiced)
+    return YinCore(result=result, frames=frames, acf=acf)

@@ -58,26 +58,34 @@ def _iacf_matrix_np(n_fft: int, n_lags: int) -> np.ndarray:
     return (m * coef / n_fft).astype(np.float32)
 
 
-def power_spectrum_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+def power_spectrum_matmul(frames: jnp.ndarray, n_fft: int,
+                          precision: str = "highest") -> jnp.ndarray:
     """``|rfft(frames, n_fft)|^2`` as two MXU matmuls (TPU has no native
     FFT; XLA's generic FFT lowering is ~100x slower than the MXU path for
     these sizes). Frames shorter than ``n_fft`` are implicitly
     zero-padded by slicing the DFT matrices to the frame length —
     padded-sample rows would multiply zeros, so dropping them halves the
     GEMM's contraction dim at identical results (matters for YIN, whose
-    512-sample frames transform at length 804+)."""
+    512-sample frames transform at length 804+).
+
+    ``precision`` selects the MXU pass count on TPU: "highest" is 6-pass
+    f32 emulation (frontend parity paths), "high" is 3-pass bf16
+    (~1e-6 relative — the eGeMAPS default, measured ~2x faster at
+    batched-decode shapes with no behavioral drift).
+    """
     n = frames.shape[-1]
     c, s = dft_matrices(n_fft, dtype=frames.dtype)
     if n < n_fft:
         c = c[:n]
         s = s[:n]
-    re = jnp.matmul(frames, c, precision="highest")
-    im = jnp.matmul(frames, s, precision="highest")
+    re = jnp.matmul(frames, c, precision=precision)
+    im = jnp.matmul(frames, s, precision=precision)
     return re * re + im * im
 
 
 def autocorr_matmul(frames: jnp.ndarray, n_lags: int,
-                    n_fft: int | None = None) -> jnp.ndarray:
+                    n_fft: int | None = None,
+                    precision: str = "highest") -> jnp.ndarray:
     """Frame autocorrelation ``acf(tau), tau in [0, n_lags)`` via the
     Wiener-Khinchin identity, computed entirely as MXU matmuls.
 
@@ -90,9 +98,9 @@ def autocorr_matmul(frames: jnp.ndarray, n_lags: int,
     if n_fft is None:
         # lane-align the bin count; exactness only needs >= n + n_lags
         n_fft = ((n + n_lags + 7) // 8) * 8
-    power = power_spectrum_matmul(frames, n_fft)
+    power = power_spectrum_matmul(frames, n_fft, precision=precision)
     iacf = jnp.asarray(_iacf_matrix_np(n_fft, n_lags), dtype=frames.dtype)
-    return jnp.matmul(power, iacf, precision="highest")
+    return jnp.matmul(power, iacf, precision=precision)
 
 
 def stft_power(
