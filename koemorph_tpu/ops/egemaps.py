@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from koemorph_tpu.ops.f0 import yin_core
+from koemorph_tpu.ops.gatherless import select_columns
 from koemorph_tpu.ops.mel import mel_filterbank
 from koemorph_tpu.ops.window import hann_window
 
@@ -318,22 +319,19 @@ def _spectral_peak_db(mag_db: jnp.ndarray, center_bin: jnp.ndarray
     underestimates by up to ~1.5 dB at 512-point DFT).
 
     ``mag_db`` is (..., T, n_bins); ``center_bin`` (..., T, K) int32.
-    Returns (..., T, K). All K lookups plus the three +/-1 shifts run as
-    ONE take_along_axis: TPU gathers pay per launched gather, not per
-    fetched column, and the round-3 profile measured ~0.2 ms per gather
-    at the batched-decode operating point — batch every per-frame bin
-    lookup you can into a single call.
+    Returns (..., T, K).
     """
     # 3-point local max as an elementwise pre-pass over the whole
     # spectrum (2 shifted maxes, ~free) so the data-dependent lookup
-    # gathers K columns instead of 3K — TPU gather cost measured ~0.13 ms
-    # per gathered column at the batched-decode operating point
+    # reads exactly K columns; the lookup itself is gather-free
+    # (ops/gatherless.py — the TPU row-loop gather this replaces measured
+    # 2.5 ms in the round-3 device trace)
     m3 = jnp.maximum(
         mag_db,
         jnp.maximum(
             jnp.concatenate([mag_db[..., :1], mag_db[..., :-1]], axis=-1),
             jnp.concatenate([mag_db[..., 1:], mag_db[..., -1:]], axis=-1)))
-    return jnp.take_along_axis(m3, center_bin, axis=-1)
+    return select_columns(m3, center_bin)
 
 
 class LldCarry(NamedTuple):
@@ -536,7 +534,7 @@ def _lld_math(
     r0 = acf[..., 0] + 1e-12
     lag = jnp.clip((sr / jnp.maximum(f0, 1.0)).astype(jnp.int32), 1,
                    acf.shape[-1] - 1)
-    r_lag = jnp.take_along_axis(acf, lag[..., None], axis=-1)[..., 0]
+    r_lag = select_columns(acf, lag[..., None])[..., 0]
     # unbiased normalization: the raw ACF of an N-sample frame at lag tau
     # sums only N-tau products, biasing r_lag/r0 down by (N-tau)/N — for a
     # 200 Hz tone in a 25 ms frame that caps HNR at ~6 dB. Scale by
@@ -604,8 +602,7 @@ def _lld_math(
     top, idx = jax.lax.top_k(neg_f, 3)           # 3 smallest freqs
     fmt_valid = jnp.isfinite(top)
     fmt_f = jnp.where(fmt_valid, -top, 0.0)
-    fmt_bw = jnp.where(fmt_valid,
-                       jnp.take_along_axis(cand_bw, idx, axis=-1), 0.0)
+    fmt_bw = jnp.where(fmt_valid, select_columns(cand_bw, idx), 0.0)
 
     # --- spectral peak lookups, ONE batched gather: H1, H2, and the
     # harmonic-resolved formant amplitudes A1..A3 (eGeMAPS definition:
