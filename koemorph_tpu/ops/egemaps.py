@@ -340,19 +340,19 @@ class LldCarry(NamedTuple):
     ring matches the monolithic :func:`compute_llds` at chunk boundaries."""
 
     prev_mag: jnp.ndarray      # (..., n_bins) previous magnitude spectrum
-    prev_period: jnp.ndarray   # (...,) previous F0 period (s; 0 = unvoiced)
-    prev_voiced: jnp.ndarray   # (...,) bool
-    prev_amp: jnp.ndarray      # (...,) previous frame RMS amplitude
 
 
 def silence_lld_carry(cfg: EgemapsConfig = EgemapsConfig()) -> LldCarry:
-    """Carry representing preceding silence (stream start)."""
+    """Carry representing preceding silence (stream start).
+
+    Only spectral flux needs cross-frame state since round 3: jitter and
+    shimmer are per-period measurements WITHIN each analysis frame
+    (sub-window waveform matching / cycle-peak amplitudes), matching the
+    OpenSMILE definitions instead of the earlier frame-to-frame proxies.
+    """
     n_bins = cfg.n_fft // 2 + 1
     return LldCarry(
         prev_mag=jnp.full((n_bins,), 1e-10, jnp.float32),
-        prev_period=jnp.zeros((), jnp.float32),
-        prev_voiced=jnp.zeros((), bool),
-        prev_amp=jnp.full((), 1e-6, jnp.float32),
     )
 
 
@@ -431,7 +431,8 @@ def compute_lld_block(
     n_acf = int(np.ceil(cfg.sample_rate / (cfg.f0_min * 0.9))) + 2
     core = yin_core(chunk, sample_rate=cfg.sample_rate, frame_length=512,
                     hop_length=hop, f0_min=cfg.f0_min, f0_max=cfg.f0_max,
-                    center=False, n_acf_lags=n_acf, precision=cfg.precision)
+                    center=False, n_acf_lags=n_acf, precision=cfg.precision,
+                    subwindow_periods=True)
     f0 = core.result.f0_hz
     voiced = core.result.voiced_flag
 
@@ -441,7 +442,9 @@ def compute_lld_block(
     frames = core.frames[..., off:off + cfg.frame_length]
     wframes = frames * hann_window(cfg.frame_length)
     return _lld_math(frames, wframes, f0, voiced, cfg, carry=carry,
-                     yin_acf=core.acf, yin_frame_length=512)
+                     yin_acf=core.acf, yin_frames=core.frames,
+                     subwindow_periods=(core.period_first,
+                                        core.period_second))
 
 
 def _lld_math(
@@ -452,14 +455,18 @@ def _lld_math(
     cfg: EgemapsConfig,
     carry: LldCarry | None,
     yin_acf: jnp.ndarray | None = None,   # (..., T, lags) shared YIN ACF
-    yin_frame_length: int = 512,
+    yin_frames: jnp.ndarray | None = None,   # (..., T, 512) YIN frames
+    subwindow_periods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[dict[str, jnp.ndarray], LldCarry]:
-    """Shared LLD math. ``carry=None`` duplicates each pairwise LLD's first
-    frame as its predecessor (zero flux/jitter/shimmer at frame 0 — the
-    monolithic semantics); a :class:`LldCarry` makes chunked computation
-    exactly continuous with the previous chunk. ``yin_acf`` reuses the
+    """Shared LLD math. ``carry=None`` duplicates spectral flux's first
+    frame as its predecessor (zero flux at frame 0 — the monolithic
+    semantics); a :class:`LldCarry` makes chunked computation exactly
+    continuous with the previous chunk. ``yin_acf`` reuses the
     autocorrelation YIN already computed for the HNR (one transform
-    instead of two over the same samples)."""
+    instead of two over the same samples); ``subwindow_periods`` are
+    YIN's half-window waveform-matched periods for per-period jitter.
+    With either optional input absent the corresponding LLD falls back
+    to its frame-level form (standalone/test callers)."""
     sr = cfg.sample_rate
     prec = cfg.precision
 
@@ -489,36 +496,50 @@ def _lld_math(
     loudness = (jnp.sum(jnp.power(mel_energy + 1e-10, 0.3), axis=-1)
                 - 26 * 1e-3)
 
-    # --- pairwise LLD predecessors (carry-aware) ---
-    period = jnp.where(f0 > 0, 1.0 / jnp.maximum(f0, 1e-3), 0.0)
+    # --- spectral-flux predecessor (the only carry-dependent LLD) ---
     amp = jnp.sqrt(jnp.mean(frames * frames, axis=-1) + 1e-12)
     if carry is None:
-        prev_period = period[..., 0]
-        prev_voiced = voiced[..., 0]
-        prev_amp = amp[..., 0]
         prev_mag = mag[..., 0, :]
     else:
-        prev_period, prev_voiced, prev_amp, prev_mag = (
-            carry.prev_period, carry.prev_voiced, carry.prev_amp,
-            carry.prev_mag)
-    period_prev = jnp.concatenate(
-        [prev_period[..., None], period[..., :-1]], axis=-1)
-    voiced_prev = jnp.concatenate(
-        [prev_voiced[..., None], voiced[..., :-1]], axis=-1)
-    amp_prev = jnp.concatenate([prev_amp[..., None], amp[..., :-1]], axis=-1)
+        prev_mag = carry.prev_mag
     mag_prev = jnp.concatenate(
         [prev_mag[..., None, :], mag[..., :-1, :]], axis=-2)
-    pair_voiced = voiced & voiced_prev
 
-    # --- jitter (F0 period variation, frame-to-frame proxy) ---
-    dperiod = jnp.abs(period - period_prev)
-    jitter = jnp.where(
-        pair_voiced, dperiod / jnp.maximum(period, 1e-6), 0.0)
+    # --- jitter: per-period, WITHIN each frame (eGeMAPS jitterLocal =
+    # relative difference of consecutive waveform-matched pitch periods;
+    # here the two half-window period estimates ~5.5 ms apart, i.e.
+    # glottal-cycle granularity for speech F0) ---
+    if subwindow_periods is not None:
+        p1, p2 = subwindow_periods
+        ok = voiced & (p1 > 0) & (p2 > 0)
+        jitter = jnp.where(
+            ok, jnp.abs(p2 - p1) / jnp.maximum(0.5 * (p1 + p2), 1e-6), 0.0)
+    else:
+        # fallback (no YIN sub-window data): frame-to-frame F0 deltas
+        period = jnp.where(f0 > 0, 1.0 / jnp.maximum(f0, 1e-3), 0.0)
+        period_prev = jnp.concatenate(
+            [period[..., :1], period[..., :-1]], axis=-1)
+        voiced_prev = jnp.concatenate(
+            [voiced[..., :1], voiced[..., :-1]], axis=-1)
+        jitter = jnp.where(voiced & voiced_prev,
+                           jnp.abs(period - period_prev)
+                           / jnp.maximum(period, 1e-6), 0.0)
 
-    # --- shimmer dB (frame amplitude variation) ---
-    shimmer = jnp.abs(20.0 * (jnp.log10(amp + 1e-9)
-                              - jnp.log10(amp_prev + 1e-9)))
-    shimmer = jnp.where(pair_voiced, shimmer, 0.0)
+    # --- shimmer dB: per-period peak amplitudes WITHIN each frame
+    # (eGeMAPS shimmerLocaldB = mean |dB ratio of consecutive pitch
+    # periods' peak amplitudes|). Cycle boundaries come arithmetically
+    # from the frame's period — masks are iota comparisons, no gathers —
+    # over the 512-sample YIN frame (covers >= 2 cycles for f0 >= 63 Hz).
+    if yin_frames is not None:
+        shimmer = _cycle_peak_shimmer(yin_frames, f0, voiced, sr)
+    else:
+        amp_prev = jnp.concatenate([amp[..., :1], amp[..., :-1]], axis=-1)
+        voiced_prev = jnp.concatenate(
+            [voiced[..., :1], voiced[..., :-1]], axis=-1)
+        shimmer = jnp.where(
+            voiced & voiced_prev,
+            jnp.abs(20.0 * (jnp.log10(amp + 1e-9)
+                            - jnp.log10(amp_prev + 1e-9))), 0.0)
 
     # --- HNR via autocorrelation at the F0 lag (shared with YIN: one
     # framing + one transform serve both; the ACF of the 512-sample YIN
@@ -526,7 +547,7 @@ def _lld_math(
     # and removes a (T, 400) x (400, 365) GEMM pair from the hot path) ---
     if yin_acf is not None:
         acf = yin_acf
-        n_frame = yin_frame_length
+        n_frame = yin_frames.shape[-1] if yin_frames is not None else 512
     else:
         n_hnr_lags = int(np.ceil(sr / max(cfg.f0_min * 0.9, 1.0))) + 2
         acf = autocorr_matmul(frames, n_hnr_lags, precision=prec)
@@ -639,10 +660,37 @@ def _lld_math(
         "formant_valid": fmt_valid,
         "frame_power": amp * amp,
     }
-    new_carry = LldCarry(
-        prev_mag=mag[..., -1, :], prev_period=period[..., -1],
-        prev_voiced=voiced[..., -1], prev_amp=amp[..., -1])
+    new_carry = LldCarry(prev_mag=mag[..., -1, :])
     return lld, new_carry
+
+
+def _cycle_peak_shimmer(yin_frames: jnp.ndarray, f0: jnp.ndarray,
+                        voiced: jnp.ndarray, sr: int,
+                        max_cycles: int = 8) -> jnp.ndarray:
+    """Per-period shimmer (dB) within each frame: peak |x| of consecutive
+    glottal cycles, cycle boundaries at multiples of the frame's period.
+
+    All selection is arithmetic (iota/period comparisons) — no gathers.
+    Frames whose period exceeds half the frame hold < 2 complete cycles
+    and report 0 (OpenSMILE likewise needs >= 2 period peaks).
+    """
+    n = yin_frames.shape[-1]
+    tau = jnp.where(f0 > 0, sr / jnp.maximum(f0, 1.0), jnp.inf)  # samples
+    j = jnp.arange(n, dtype=jnp.float32)
+    cyc = jnp.floor(j / tau[..., None])                 # (..., T, n)
+    ax = jnp.abs(yin_frames)
+    peaks = []
+    for i in range(max_cycles):
+        peaks.append(jnp.max(jnp.where(cyc == i, ax, 0.0), axis=-1))
+    a = jnp.stack(peaks, axis=-1)                       # (..., T, C)
+    # pair i is valid when cycle i+1 ends inside the frame
+    i_idx = jnp.arange(max_cycles - 1, dtype=jnp.float32)
+    pair_ok = ((i_idx + 2.0) * tau[..., None] <= n) & voiced[..., None]
+    ratio_db = jnp.abs(20.0 * (jnp.log10(a[..., 1:] + 1e-9)
+                               - jnp.log10(a[..., :-1] + 1e-9)))
+    s = jnp.sum(jnp.where(pair_ok, ratio_db, 0.0), axis=-1)
+    cnt = jnp.sum(pair_ok.astype(jnp.float32), axis=-1)
+    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -38,11 +38,18 @@ class F0Result(NamedTuple):
 class YinCore(NamedTuple):
     """yin_f0 result plus reusable intermediates (shared-work path for
     the eGeMAPS LLD chain, which needs the same frames and a longer-lag
-    autocorrelation for HNR)."""
+    autocorrelation for HNR, plus sub-window period estimates for
+    per-period jitter)."""
 
     result: F0Result
     frames: jnp.ndarray    # (..., T, frame_length) raw signal frames
     acf: jnp.ndarray       # (..., T, n_acf_lags) full-frame autocorrelation
+    # sub-window waveform-matched periods (samples, sub-sample refined):
+    # the period measured over the first / second half of the YIN
+    # correlation window (~5.5 ms apart at 16 kHz / frame 512). Zeros
+    # when subwindow_periods=False.
+    period_first: jnp.ndarray   # (..., T)
+    period_second: jnp.ndarray  # (..., T)
 
 
 @functools.lru_cache(maxsize=16)
@@ -85,15 +92,16 @@ def yin_frame_difference(frames: jnp.ndarray, tau_max: int,
     Returns:
         (..., T, tau_max + 1) difference values.
     """
-    d, _acf = _yin_difference_and_acf(frames, tau_max, tau_max + 1,
-                                      precision)
+    d, _acf, _c = _yin_difference_and_acf(frames, tau_max, tau_max + 1,
+                                          precision)
     return d
 
 
-def _yin_difference_and_acf(frames: jnp.ndarray, tau_max: int,
-                            n_acf_lags: int, precision: str
-                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(d(tau) for tau in [0, tau_max], full-frame acf[0, n_acf_lags)).
+def _yin_difference_and_acf(
+    frames: jnp.ndarray, tau_max: int, n_acf_lags: int, precision: str
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(d(tau) for tau in [0, tau_max], full-frame acf[0, n_acf_lags),
+    restricted cross-correlation c(tau) = sum_{j<W} x_j x_{j+tau}).
 
     The full-frame autocorrelation is computed once at
     ``max(tau_max + 1, n_acf_lags)`` lags so callers needing longer lags
@@ -126,7 +134,7 @@ def _yin_difference_and_acf(frames: jnp.ndarray, tau_max: int,
         [jnp.zeros_like(r0), _cumsum_matmul(diff, precision)], axis=-1)
 
     d = r0 + r_tau - 2.0 * c
-    return jnp.maximum(d, 0.0), acf_full
+    return jnp.maximum(d, 0.0), acf_full, c
 
 
 def cmndf(d: jnp.ndarray, precision: str = "highest") -> jnp.ndarray:
@@ -171,12 +179,22 @@ def yin_core(
     center: bool = True,
     n_acf_lags: Optional[int] = None,
     precision: str = "highest",
+    subwindow_periods: bool = False,
 ) -> YinCore:
     """:func:`yin_f0` plus the frames and full-frame autocorrelation it
     computed along the way (see :class:`YinCore`). ``n_acf_lags`` extends
     the returned autocorrelation beyond YIN's own ``tau_max + 1`` lags at
     marginal cost (the eGeMAPS HNR shares it instead of re-framing and
-    re-transforming the same samples)."""
+    re-transforming the same samples).
+
+    ``subwindow_periods=True`` additionally refines the period over the
+    first and second half of the correlation window independently
+    (waveform matching restricted to each half, local dip around the
+    frame-level pick, parabolic sub-sample refinement). The two
+    estimates sit ~W/2 samples apart (~5.5 ms at 16 kHz / frame 512),
+    i.e. at glottal-cycle granularity for speech F0 — the eGeMAPS
+    per-period jitter is computed from their difference instead of
+    from 10 ms frame-to-frame F0 deltas."""
     tau_min, tau_max = _tau_range(sample_rate, f0_min, f0_max)
     if frame_length <= tau_max + 8:
         raise ValueError(
@@ -184,8 +202,8 @@ def yin_core(
             f"(needs > {tau_max + 8})")
 
     frames = frame_signal(audio, frame_length, hop_length, center=center)
-    d, acf = _yin_difference_and_acf(frames, tau_max,
-                                     n_acf_lags or (tau_max + 1), precision)
+    d, acf, c_all = _yin_difference_and_acf(
+        frames, tau_max, n_acf_lags or (tau_max + 1), precision)
     dprime = cmndf(d, precision)
 
     # search region [tau_min, tau_max]
@@ -231,4 +249,77 @@ def yin_core(
     f0 = jnp.where((f0 >= f0_min * 0.9) & (f0 <= f0_max * 1.1), f0, 0.0)
     voiced = voiced & (f0 > 0)
     result = F0Result(f0_hz=f0, voiced_prob=voiced_prob, voiced_flag=voiced)
-    return YinCore(result=result, frames=frames, acf=acf)
+
+    if subwindow_periods:
+        p1, p2 = _subwindow_periods(frames, tau_max, pick, c_all, precision)
+    else:
+        p1 = p2 = jnp.zeros_like(f0)
+    return YinCore(result=result, frames=frames, acf=acf,
+                   period_first=p1, period_second=p2)
+
+
+def _refine_period_local(d_sub: jnp.ndarray, pick: jnp.ndarray,
+                         half_width: int = 8) -> jnp.ndarray:
+    """Sub-sample period from a (sub-window) difference function: local
+    minimum of ``d_sub`` within ``pick +/- half_width`` lags, parabolic
+    refinement. Gather-free (ops/gatherless.py)."""
+    from koemorph_tpu.ops.gatherless import select_columns
+
+    n = d_sub.shape[-1]
+    offs = jnp.arange(-half_width, half_width + 1, dtype=pick.dtype)
+    idx = jnp.clip(pick[..., None] + offs, 1, n - 2)
+    vals = select_columns(d_sub, idx)               # (..., 2w+1)
+    loc = jnp.argmin(vals, axis=-1)
+    # arithmetic recovery of the chosen lag (no gather)
+    center = jnp.clip(pick + loc - half_width, 1, n - 2)
+    # one more 3-column lookup for the parabola around the local min
+    tri = jnp.stack([jnp.clip(center - 1, 0, n - 1), center,
+                     jnp.clip(center + 1, 0, n - 1)], axis=-1)
+    ys = select_columns(d_sub, tri)
+    y0, y1, y2 = ys[..., 0], ys[..., 1], ys[..., 2]
+    denom = y0 - 2 * y1 + y2
+    off = jnp.where(jnp.abs(denom) > 1e-12,
+                    0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12,
+                                                denom, 1.0), 0.0)
+    return center.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0)
+
+
+def _subwindow_periods(frames: jnp.ndarray, tau_max: int,
+                       pick: jnp.ndarray, c_all: jnp.ndarray,
+                       precision: str
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Waveform-matched period over each half of the YIN correlation
+    window: d_half(tau) = sum over the half's samples of
+    (x_j - x_{j+tau})^2, evaluated exactly like the main difference
+    function but with the correlation restricted to j < W/2 (first) or
+    W/2 <= j < W (second). ``c_all`` is the full-window cross term the
+    main pass already computed (c_second = c_all - c_first, so only one
+    extra DFT pair is spent here)."""
+    from koemorph_tpu.ops.stft import autocorr_matmul
+
+    n = frames.shape[-1]
+    w = n - tau_max
+    half = w // 2
+
+    # cross terms: c_first = acf(x[:half+tau_max]) - acf(tail of that)
+    sub = frames[..., : half + tau_max]
+    acf_sub = autocorr_matmul(sub, tau_max + 1, precision=precision)
+    acf_sub_tail = autocorr_matmul(sub[..., half:], tau_max + 1,
+                                   precision=precision)
+    c_first = acf_sub - acf_sub_tail
+    c_second = c_all - c_first
+
+    # energy terms per half, frame-locally (see _yin_difference_and_acf)
+    sq = frames * frames
+    def _energy(lo, count):
+        r0 = jnp.sum(sq[..., lo: lo + count], axis=-1, keepdims=True)
+        diff = (sq[..., lo + count: lo + count + tau_max]
+                - sq[..., lo: lo + tau_max])
+        return r0, r0 + jnp.concatenate(
+            [jnp.zeros_like(r0), _cumsum_matmul(diff, precision)], axis=-1)
+
+    r0_1, rtau_1 = _energy(0, half)
+    r0_2, rtau_2 = _energy(half, w - half)
+    d1 = jnp.maximum(r0_1 + rtau_1 - 2.0 * c_first, 0.0)
+    d2 = jnp.maximum(r0_2 + rtau_2 - 2.0 * c_second, 0.0)
+    return (_refine_period_local(d1, pick), _refine_period_local(d2, pick))

@@ -172,16 +172,20 @@ class TestLldBlocks:
             b = np.concatenate(
                 [np.asarray(b1[key]), np.asarray(b2[key])], axis=0)
             assert a.shape == b.shape, key
-            # Two keys amplify reduction-order epsilons (matmul tile
-            # shapes differ with batch size): HNR's log(r/(1-r)) pole
-            # near saturation, and formant bandwidth's 1/sqrt(curvature).
-            # Allow scale-appropriate slack there; everything else is
-            # bit-tight.
+            # Some keys amplify reduction-order epsilons (matmul tile
+            # shapes differ with the frame-count dimension): HNR's
+            # log(r/(1-r)) pole near saturation, formant bandwidth's
+            # root-radius log, and per-period jitter's parabolic
+            # refinement of half-window dips (~1e-5 absolute on a
+            # relative-jitter quantity of ~1e-2). Allow scale-appropriate
+            # slack there; everything else is bit-tight.
             atol, rtol = 1e-5, 1e-5
             if key == "hnr_db":
                 atol = 0.05
             elif key == "formant_bw":
                 rtol = 1e-3
+            elif key == "jitter":
+                atol = 1e-4
             np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
                                        err_msg=key)
 
