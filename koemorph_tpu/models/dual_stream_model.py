@@ -249,12 +249,28 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
         emotion_features_raw: Optional[jnp.ndarray] = None,
         return_attention: bool = False,
         deterministic: bool = True,
+        window_starts: Optional[jnp.ndarray] = None,
     ) -> dict[str, jnp.ndarray]:
+        """``window_starts`` ((n,) or per-utterance (B, n) int frame
+        indices, each <= L//hop - window_frames) overrides the fixed
+        ``stride_frames`` grid — the progressive/adaptive-stride decode
+        path (BASELINE.json config #5; schedules from
+        :class:`~koemorph_tpu.data.sequential.StrideSchedule`). Rows
+        must be temporally ordered (EMA smoothing runs across the window
+        sequence). Requires the global-STFT path
+        (``exact_window_stft=False``)."""
         b, audio_len = audio.shape
         hop = self.hop_length
         num_frames = audio_len // hop
-        n_out = max(1, (num_frames - self.window_frames)
-                    // self.stride_frames + 1)
+        if window_starts is not None and self.exact_window_stft:
+            raise ValueError(
+                "window_starts requires the global-STFT path "
+                "(exact_window_stft=False)")
+        if window_starts is not None:
+            n_out = window_starts.shape[-1]
+        else:
+            n_out = max(1, (num_frames - self.window_frames)
+                        // self.stride_frames + 1)
 
         # ---- emotion once per sequence ----
         if emotion_features_raw is None:
@@ -263,10 +279,14 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
         emotion = self._project_emotion(emotion_features_raw)  # (B, d)
 
         # ---- mel power ----
-        # pad so the last window has a full frame count
-        needed = ((n_out - 1) * self.stride_frames + self.window_frames) * hop
-        if needed > audio_len:
-            audio = jnp.pad(audio, ((0, 0), (0, needed - audio_len)))
+        # pad so the last window has a full frame count (explicit
+        # window_starts are already clipped to num_frames - window by the
+        # caller, so the unpadded frame grid always covers them)
+        if window_starts is None:
+            needed = ((n_out - 1) * self.stride_frames
+                      + self.window_frames) * hop
+            if needed > audio_len:
+                audio = jnp.pad(audio, ((0, 0), (0, needed - audio_len)))
         cfg = self.mel_frontend
         if self.exact_window_stft:
             # reference-exact edge semantics: STFT each window separately
@@ -333,7 +353,37 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                             "emotion_attention_weights") if k in out}
             return raw, ex
 
-        if self.decode_mode == "parallel" or n_out <= self.window_chunk:
+        def decode_windows_at(ws: jnp.ndarray):
+            """Traced per-utterance window starts (B, n): one batched
+            time-axis gather of the shared global mel (the only
+            data-dependent indexing on this path), then the same
+            attention batch as the fixed-stride grid."""
+            n = ws.shape[1]
+            g = (ws[:, :, None]
+                 + jnp.arange(w_frames, dtype=ws.dtype)[None, None, :])
+            windows = jnp.take_along_axis(
+                log_mel, g.reshape(b, -1)[..., None], axis=1)
+            windows = windows.reshape(b, n, w_frames, log_mel.shape[-1])
+            mel_w, detail_w = window_features(windows)
+            out = attention(
+                mel_w.reshape(b * n, self.window_frames, 80),
+                detail_w.reshape(b * n, 3, 80),
+                jnp.repeat(emotion, n, axis=0),
+                return_attention=return_attention,
+                deterministic=deterministic)
+            raw = jnp.swapaxes(
+                out["blendshapes"].reshape(b, n, -1), 0, 1)
+            ex = {k: out[k].reshape((b, n) + out[k].shape[1:])
+                  for k in ("mel_attention_weights",
+                            "emotion_attention_weights") if k in out}
+            return raw, ex
+
+        if window_starts is not None:
+            ws = jnp.asarray(window_starts, jnp.int32)
+            if ws.ndim == 1:
+                ws = jnp.broadcast_to(ws[None, :], (b, n_out))
+            raw_seq, extras = decode_windows_at(ws)
+        elif self.decode_mode == "parallel" or n_out <= self.window_chunk:
             raw_seq, extras = decode_windows(starts)
         else:
             # chunked: bound activation memory to window_chunk windows per

@@ -56,6 +56,14 @@ class BatchedSequentialDecoder:
 
         self._decode = decode
 
+        @jax.jit
+        def decode_at(params, audio, starts):
+            out = model.apply({"params": params}, audio,
+                              deterministic=True, window_starts=starts)
+            return out["blendshapes"]
+
+        self._decode_at = decode_at
+
     @property
     def num_devices(self) -> int:
         return int(self.mesh.devices.size)
@@ -69,6 +77,50 @@ class BatchedSequentialDecoder:
                 "pad upstream")
         sharded = jax.device_put(audio, self._sharding)
         return self._decode(self.params, sharded)
+
+    def decode_scheduled(self, audio_batch, strides,
+                         ) -> tuple[jax.Array, np.ndarray]:
+        """Progressive/adaptive-stride batched decode (BASELINE.json
+        config #5: "multi-utterance batch with progressive-stride
+        windows").
+
+        ``strides`` is a per-utterance window stride — an int, an (B,)
+        array, or a :class:`~koemorph_tpu.data.sequential.StrideSchedule`
+        resolved by the caller via
+        ``[schedule.stride_for(epoch, i, B) for i in range(B)]``. Each
+        utterance decodes windows at ``0, s_i, 2*s_i, ...``; all rows are
+        padded to the densest stride's window count (extra windows clamp
+        to the final valid start, keeping shapes static) and a boolean
+        validity mask is returned alongside the (B, n_max, 52) output.
+        One executable per distinct (audio length, n_max) pair.
+        """
+        audio = np.asarray(audio_batch, np.float32)
+        bsz = audio.shape[0]
+        if bsz % self.num_devices:
+            raise ValueError(
+                f"batch {bsz} not divisible by {self.num_devices} "
+                "devices; pad upstream")
+        strides = np.broadcast_to(
+            np.asarray(strides, np.int64), (bsz,)).astype(np.int64)
+        if (strides < 1).any():
+            raise ValueError("strides must be >= 1")
+
+        hop = int(self.model.sample_rate / self.model.target_fps)
+        num_frames = audio.shape[1] // hop
+        span = num_frames - self.model.window_frames
+        if span < 0:
+            raise ValueError(
+                f"audio shorter than one {self.model.window_frames}-frame "
+                "window")
+        n_per = span // strides + 1                     # (B,)
+        n_max = int(n_per.max())
+        grid = np.arange(n_max)[None, :] * strides[:, None]   # (B, n_max)
+        starts = np.minimum(grid, span).astype(np.int32)
+        mask = np.arange(n_max)[None, :] < n_per[:, None]
+
+        sharded = jax.device_put(audio, self._sharding)
+        starts_sh = jax.device_put(starts, self._sharding)
+        return self._decode_at(self.params, sharded, starts_sh), mask
 
     def throughput_stats(self, audio_batch, iters: int = 10) -> dict:
         """Frames/sec/chip measurement over the mesh."""

@@ -172,3 +172,77 @@ class TestDataParallelEquivalence:
         for x, y in zip(flat1, flat8):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=2e-4, atol=2e-6)
+
+
+class TestScheduledDecode:
+    """Progressive-stride batched decoding (BASELINE.json config #5)."""
+
+    def _model(self, stride):
+        from koemorph_tpu.models.dual_stream_model import (
+            SequentialDualStreamModel)
+        return SequentialDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="basic", use_concatenation=False,
+            stride_frames=stride, dropout=0.0)
+
+    def test_uniform_schedule_matches_fixed_stride(self, dummy_audio):
+        import jax.numpy as jnp
+        from koemorph_tpu.parallel import BatchedSequentialDecoder
+
+        model = self._model(4)
+        span = 32 * 533
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, span)))["params"]
+        decoder = BatchedSequentialDecoder(model, params)
+        batch = np.stack([dummy_audio[:span]] * 8)
+        ref = np.asarray(decoder(batch))
+        out, mask = decoder.decode_scheduled(batch, 4)
+        assert mask.all() and out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    def test_per_utterance_strides_pad_and_mask(self, dummy_audio):
+        import jax.numpy as jnp
+        from koemorph_tpu.parallel import BatchedSequentialDecoder
+
+        span = 32 * 533
+        num_frames, window = 32, 16
+        audio = np.stack([dummy_audio[:span]] * 8)
+        model4 = self._model(4)
+        params = jax.jit(model4.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, span)))["params"]
+        decoder = BatchedSequentialDecoder(model4, params)
+
+        strides = np.array([4, 8] * 4)
+        out, mask = decoder.decode_scheduled(audio, strides)
+        n4 = (num_frames - window) // 4 + 1      # densest rows
+        n8 = (num_frames - window) // 8 + 1
+        assert out.shape == (8, n4, 52)
+        assert mask[0].sum() == n4 and mask[1].sum() == n8
+
+        # each row must equal the fixed-stride sequential decode at ITS
+        # stride (EMA smoothing runs over that row's own window sequence)
+        for stride, row in ((4, 0), (8, 1)):
+            m = self._model(stride)
+            ref = jax.jit(lambda a, m=m: m.apply(
+                {"params": params}, a, deterministic=True)["blendshapes"])(
+                    jnp.asarray(audio[row:row + 1]))
+            n = (num_frames - window) // stride + 1
+            np.testing.assert_allclose(
+                np.asarray(out[row, :n]), np.asarray(ref[0]), atol=1e-5)
+
+    def test_exact_window_stft_rejects_schedule(self):
+        import jax.numpy as jnp
+        from koemorph_tpu.models.dual_stream_model import (
+            SequentialDualStreamModel)
+
+        model = SequentialDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="basic", use_concatenation=False,
+            stride_frames=4, dropout=0.0, exact_window_stft=True)
+        span = 24 * 533
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, span)))["params"]
+        with pytest.raises(ValueError, match="window_starts"):
+            model.apply({"params": params},
+                        jnp.zeros((1, span)), deterministic=True,
+                        window_starts=jnp.zeros((1, 3), jnp.int32))
