@@ -97,3 +97,33 @@ class TestReport:
 
         # sys.modules entry None -> `import opensmile` raises ImportError
         assert mod.cmd_generate(Args()) == 2
+
+
+class TestRecordedGoldensEscapeHatch:
+    """Meta-test of tests/ops/test_egemaps_recorded_goldens.py: with
+    synthetic goldens present the gates must activate and pass, so that
+    committing real OpenSMILE .npz files needs zero code changes."""
+
+    def test_gates_activate_and_pass(self, monkeypatch, tmp_path):
+        mod = load_tool(monkeypatch, tmp_path)
+        make_goldens(mod, n_clips=5)
+
+        import importlib.util as _ilu
+        spec = _ilu.spec_from_file_location(
+            "recorded_goldens",
+            REPO / "tests" / "ops" / "test_egemaps_recorded_goldens.py")
+        rg = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(rg)
+        monkeypatch.setattr(rg, "GOLDEN_DIR", mod.GOLDEN_DIR)
+        monkeypatch.setattr(rg, "GOLDENS",
+                            sorted(mod.GOLDEN_DIR.glob("*.npz")))
+        assert len(rg.GOLDENS) == 5
+
+        pairs = rg._load_pairs()
+        t = rg.TestRecordedGoldens()
+        t.test_all_matched_features_finite(pairs)
+        # synthetic goldens are an affine map of our features -> every
+        # non-degenerate feature correlates perfectly and calibration
+        # recovers the map
+        t.test_analytic_groups_correlate(pairs)
+        t.test_calibration_reduces_mae(pairs)
