@@ -318,6 +318,13 @@ class SequentialBatchSampler:
     different files — at a file boundary the partial batch is flushed
     (or dropped with ``drop_last``) so the trainer's temporal-state reset
     happens exactly once per file.
+
+    Note a deliberate semantic difference: the reference sampler carries
+    boundary partials over into the next file's batch (mixing files in
+    one batch, which corrupts cross-window temporal state); we do not.
+    With ``drop_last=True`` this discards up to ``batch_size - 1``
+    windows *per file* rather than per epoch — with many short files,
+    prefer ``drop_last=False`` (flush) to keep every window.
     """
 
     def __init__(self, dataset: SequentialKoeMorphDataset,

@@ -139,7 +139,9 @@ class Trainer:
                     "keep_epoch_every", 10)),
             config=_plain(self.config))
         self.writer = self._make_writer()
-        self._attn_image_fn = None   # lazily-jitted attention-viz forward
+        # lazily-jitted attention-viz forward; False = model has no
+        # return_attention path (checked once, then skipped)
+        self._attn_image_fn = None
         self.epoch = 0
         self.global_step = 0
         # pin the output state to the replicated sharding: otherwise step 1's
@@ -327,7 +329,7 @@ class Trainer:
         """Attention-weight heatmaps to TensorBoard
         (reference train_sequential.py:355-371: attention/mel and
         attention/emotion images every 100 steps)."""
-        if self.writer is None:
+        if self.writer is None or self._attn_image_fn is False:
             return
         try:
             if self._attn_image_fn is None:
@@ -339,8 +341,10 @@ class Trainer:
                         deterministic=True))
             out = self._attn_image_fn(self.state.params,
                                       batch["audio"][:1])
-        except TypeError:   # model without a return_attention path
-            self._attn_image_fn = None
+        except TypeError:
+            # model without a return_attention path: disable permanently
+            # (False sentinel) so the failed trace is paid exactly once
+            self._attn_image_fn = False
             return
         except Exception as e:  # pragma: no cover - defensive
             logger.debug("attention image logging skipped: %s", e)
