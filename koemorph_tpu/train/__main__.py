@@ -71,25 +71,25 @@ def write_synthetic_dataset(out_dir: Path, n_files: int, *,
             f0_frame = f0[np.clip(np.arange(frames) * hop, 0, n - 1)]
             f0_norm = (f0_frame - f0_frame.min()) / (
                 np.ptp(f0_frame) + 1e-9)
-            coeffs[:, name_idx["jawOpen"]] = 0.12 * mouth_drive
-            for nm in ("mouthLowerDownLeft", "mouthLowerDownRight",
-                       "mouthUpperUpLeft", "mouthUpperUpRight"):
-                coeffs[:, name_idx[nm]] = 0.08 * mouth_drive
-            for nm in ("mouthFunnel", "mouthPucker"):
-                coeffs[:, name_idx[nm]] = 0.06 * mouth_drive * f0_norm
-            for nm in ("mouthStretchLeft", "mouthStretchRight"):
-                coeffs[:, name_idx[nm]] = (0.05 * mouth_drive
-                                           * (1 - f0_norm))
-            # slow 'emotion' drift on a few expression blendshapes
+            # Sparse ARKit-like amplitudes (real mocap: most channels
+            # ~0, a handful of actives reaching 0.3-0.8) — sized to stay
+            # *reachable* through the reference's across-52 fusion
+            # softmax, which bounds the per-frame SUM of all 52 outputs
+            # by ~max(sigmoid) <= 1 (see models/dual_stream.py:19-24):
+            # peak sum here ~0.95, so calibrated amplitudes, threshold
+            # F1 and range_ratio are all attainable by a trained model.
+            coeffs[:, name_idx["jawOpen"]] = 0.6 * mouth_drive
+            coeffs[:, name_idx["mouthFunnel"]] = (
+                0.12 * mouth_drive * f0_norm)
+            coeffs[:, name_idx["mouthStretchLeft"]] = (
+                0.1 * mouth_drive * (1 - f0_norm))
+            # slow 'emotion' drift on one brow channel (crosses the 0.1
+            # activation threshold, unlike the round-2 0.05-scale drift)
             k = np.arange(frames)
-            emo_phase = rng.uniform(0, 6)
-            for j, nm in enumerate(("browInnerUp", "browOuterUpLeft",
-                                    "browOuterUpRight", "eyeSquintLeft",
-                                    "eyeSquintRight")):
-                coeffs[:, name_idx[nm]] = 0.05 + 0.04 * np.sin(
-                    2 * np.pi * 0.15 * k / fps + emo_phase + 0.8 * j)
+            coeffs[:, name_idx["browInnerUp"]] = 0.13 + 0.12 * np.sin(
+                2 * np.pi * 0.15 * k / fps + rng.uniform(0, 6))
             # faint noise floor on remaining channels, ARKit-style
-            floor = rng.uniform(0, 0.01, (frames, 52)).astype(np.float32)
+            floor = rng.uniform(0, 0.008, (frames, 52)).astype(np.float32)
             coeffs = np.clip(coeffs + floor, 0, 1)
         else:
             base = rng.uniform(0, 0.6, 52)

@@ -49,6 +49,9 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--d-model", type=int, default=256)
+    ap.add_argument("--fps", type=int, default=30, choices=(30, 60),
+                    help="60 doubles the mel window to 512 frames "
+                         "(reference dual_stream_60fps.yaml sizing)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -67,17 +70,18 @@ def main() -> int:
     work.mkdir(parents=True, exist_ok=True)
     data_dir = write_synthetic_dataset(
         work / "data", args.files, duration_s=args.duration, seed=7,
-        speech_correlated=True)
+        fps=float(args.fps), speech_correlated=True)
 
+    window = 256 if args.fps == 30 else 512   # dual_stream_60fps.yaml
     model = SequentialDualStreamModel(
-        d_model=args.d_model, num_heads=8, mel_sequence_length=256,
+        d_model=args.d_model, num_heads=8, mel_sequence_length=window,
         emotion_backend="egemaps", use_concatenation=True,
-        target_fps=30, dropout=0.1, stride_frames=4)
+        target_fps=args.fps, dropout=0.1, stride_frames=4)
     span = model.window_frames + 32
 
     loader_fn, dataset = create_sequential_dataloader(
         str(data_dir), batch_size=args.batch_size, window_frames=span,
-        stride_frames=64, sample_rate=16000, target_fps=30.0)
+        stride_frames=64, sample_rate=16000, target_fps=float(args.fps))
     steps = max(1, dataset.get_num_windows() // args.batch_size)
 
     tcfg = {
@@ -150,12 +154,14 @@ def main() -> int:
     run("infer", [sys.executable, "scripts/infer.py",
                   "--model", str(ckpt), "--input", str(wav),
                   "--output", str(work / "infer_out.jsonl"),
+                  "--fps", str(args.fps),
                   "--d-model", str(args.d_model)])
     run("rt", [sys.executable, "scripts/rt.py",
                "--model", str(ckpt), "--input", str(wav),
                "--output", "file",
                "--output-file", str(work / "rt_out.jsonl"),
                "--no-realtime", "--d-model", str(args.d_model),
+               "--fps", str(args.fps),
                "--max-frames", "120"])
     # jax2tf conversion requires the CPU backend (the tunneled TPU
     # backend is not visible to TensorFlow)
@@ -163,6 +169,7 @@ def main() -> int:
                    "--model", str(ckpt),
                    "--output", str(work / "export"),
                    "--d-model", str(args.d_model),
+                   "--fps", str(args.fps),
                    "--format", "saved_model", "--cpu"])
 
     first, last = epochs[0], epochs[-1]
@@ -172,17 +179,30 @@ def main() -> int:
         f"Generated by `scripts/training_rehearsal.py` — "
         f"{args.files} files x {args.duration:.0f} s speech-correlated "
         f"synthetic data, SequentialDualStreamModel d={args.d_model}, "
-        f"window 256, stride 4, {args.epochs} epochs x {steps} steps, "
+        f"window {window}, stride 4, {args.fps} fps, "
+        f"{args.epochs} epochs x {steps} steps, "
         f"{train_s:.0f} s wall.",
         "",
-        "Targets are derived from the audio (mouth follows the energy "
-        "envelope, lips follow F0, expressions drift slowly). The "
-        "discriminative signal is the pred/target **correlation**: the "
-        "absolute loss sits on the floor set by the targets' deliberate "
-        "per-channel noise, so correlation — not raw MSE — shows the "
-        "model genuinely tracking the audio through the full production "
-        "path (on-device mel + eGeMAPS, batched window attention, "
-        "associative-scan EMA).",
+        "Targets are sparse ARKit-like mocap derived from the audio "
+        "(jawOpen tracks the energy envelope up to 0.6, lip shapes "
+        "follow F0, one brow channel drifts slowly across the 0.1 "
+        "activation threshold; everything else sits on a <=0.008 noise "
+        "floor). Amplitudes are sized to be *reachable* through the "
+        "reference's across-52 fusion softmax, which bounds the "
+        "per-frame SUM of all 52 outputs by ~1 "
+        "(models/dual_stream.py:19-24; reference "
+        "dual_stream_attention.py:252-267 has the identical ceiling). "
+        "Real mocap frames with coefficient sums of 2-5 are "
+        "structurally unreachable for BOTH implementations — that, not "
+        "a training defect, is what collapsed range_ratio against the "
+        "round-2 dense targets. The reference's own MAE 0.028 on "
+        "sparse mocap is consistent with this ceiling (predicting the "
+        "sparse actives well and ~0 elsewhere).",
+        "",
+        "MAE floor: with a uniform [0, 0.008] noise floor on the ~48 "
+        "inactive channels, a perfect model scores MAE ~0.004; numbers "
+        "near that floor mean the actives are tracked to within the "
+        "injected noise.",
         "",
         "| metric | first epoch | last epoch |",
         "|---|---|---|",
@@ -207,19 +227,28 @@ def main() -> int:
 
     summary = {
         "epochs": len(epochs),
+        "fps": args.fps,
         "loss_first": float(first["loss"]),
         "loss_last": float(last["loss"]),
         "mae_last": float(last.get("l1", float("nan"))),
         "correlation_first": float(first.get("correlation", 0.0)),
         "correlation_last": float(last.get("correlation", 0.0)),
+        "f1_last": float(last.get("f1_score", 0.0)),
+        "precision_last": float(last.get("precision", 0.0)),
+        "recall_last": float(last.get("recall", 0.0)),
+        "range_ratio_first": float(first.get("range_ratio", 0.0)),
+        "range_ratio_last": float(last.get("range_ratio", 0.0)),
         "train_seconds": round(train_s, 1),
         "cli": {k: v["rc"] for k, v in cli_log.items()},
     }
     print(json.dumps(summary))
-    # success = the model genuinely tracks the audio (the loss itself sits
-    # on the target noise floor, so pred/target correlation is the
-    # discriminative signal) and every CLI surface consumed the checkpoint
+    # success = the model genuinely tracks the audio, produces calibrated
+    # amplitudes (non-degenerate threshold F1, range not collapsing), and
+    # every CLI surface consumed the checkpoint
     ok = (summary["correlation_last"] > 0.3
+          and summary["f1_last"] > 0.2
+          and summary["range_ratio_last"] > 0.5 * max(
+              summary["range_ratio_first"], 1e-9)
           and all(rc == 0 for rc in summary["cli"].values()))
     return 0 if ok else 1
 
