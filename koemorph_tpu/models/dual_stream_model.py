@@ -88,7 +88,7 @@ class SimplifiedDualStreamModel(nn.Module):
     use_concatenation: bool = True
     dropout: float = 0.1
     smoothing_alpha_init: float = 0.8
-    stft_method: str = "matmul"        # matmul | rfft | pallas
+    stft_method: str = "matmul"        # matmul | rfft (see ops/frontend.py)
     use_learnable_weights: bool = True  # False: hard mouth/expression masks
     fusion_temperature: float = 1.0
     # emotion2vec backend: wav2vec2 encoder config (a compact trainable

@@ -46,7 +46,14 @@ class LogMelFrontend:
     f_min: float = 80.0
     f_max: float | None = 8000.0
     style: Literal["librosa", "torchaudio"] = "librosa"
-    stft_method: str = "matmul"   # matmul | rfft | pallas (fused kernel)
+    # "matmul" is the measured-fastest TPU path at every shape the models
+    # run (XLA fuses the window/power/dB elementwise chain into the DFT
+    # GEMMs; the fused Pallas kernel in ops/pallas loses 1.2-2.9x at the
+    # flagship shapes because its lane padding and fixed 128-frame tiling
+    # outweigh the small HBM intermediate it avoids — measured v5e
+    # numbers in docs/performance.md). The kernel remains available as
+    # ops.pallas.fused_log_mel_frontend for direct callers.
+    stft_method: str = "matmul"   # matmul | rfft
     eps: float = 1e-8
 
     @property
@@ -78,19 +85,13 @@ def log_mel_spectrogram(audio: jnp.ndarray, cfg: LogMelFrontend) -> jnp.ndarray:
     torchaudio style: natural-log mel, padded/truncated to
     ``int(L / sr * fps)`` frames.
     """
-    if cfg.stft_method == "pallas" and cfg.style == "librosa":
-        # fused Pallas kernel: STFT + mel + dB in one VMEM-resident pass
-        from koemorph_tpu.ops.pallas import fused_log_mel_frontend
-
-        mel_db = fused_log_mel_frontend(
-            audio, sample_rate=cfg.sample_rate, n_fft=cfg.n_fft,
-            hop_length=cfg.hop_length, n_mels=cfg.n_mels, f_min=cfg.f_min,
-            f_max=cfg.effective_f_max)
-        # per-sample ref=max + top_db clip in dB space (equivalent to
-        # power_to_db(ref=max, top_db=80) since log is monotonic)
-        ref_db = jnp.max(mel_db, axis=(-2, -1), keepdims=True)
-        mel_db = jnp.maximum(mel_db - ref_db, -80.0)
-        return normalize_log_mel(mel_db)
+    if cfg.stft_method == "pallas":
+        raise ValueError(
+            "stft_method='pallas' was removed from the model path: the "
+            "XLA matmul path measured 1.2-2.9x faster at every flagship "
+            "shape on v5e (docs/performance.md). Call "
+            "ops.pallas.fused_log_mel_frontend directly if you need the "
+            "fused kernel.")
 
     spec = stft_power(
         audio,

@@ -54,13 +54,34 @@ class TestFusedFrontend:
 
 
 class TestFrontendIntegration:
-    def test_pallas_stft_method_matches_matmul(self, dummy_audio_batch):
-        from koemorph_tpu.ops.frontend import LogMelFrontend, log_mel_spectrogram
+    def test_pallas_option_removed_with_pointer(self, dummy_audio_batch):
+        # the model-path option was deleted after v5e measurements showed
+        # the XLA matmul path 1.2-2.9x faster at every flagship shape;
+        # the frontend must fail loudly with the migration pointer
+        from koemorph_tpu.ops.frontend import (LogMelFrontend,
+                                               log_mel_spectrogram)
+        import pytest
+
+        with pytest.raises(ValueError, match="fused_log_mel_frontend"):
+            log_mel_spectrogram(jnp.asarray(dummy_audio_batch),
+                                LogMelFrontend(stft_method="pallas"))
+
+    def test_kernel_matches_matmul_frontend_normalized(
+            self, dummy_audio_batch):
+        # the standalone kernel still reproduces the production frontend
+        # when its dB output is normalized the same way
+        from koemorph_tpu.ops.frontend import (
+            LogMelFrontend, log_mel_spectrogram, normalize_log_mel)
+
         base = LogMelFrontend()
-        pal = LogMelFrontend(stft_method="pallas")
         a = jnp.asarray(dummy_audio_batch)
         want = log_mel_spectrogram(a, base)
-        got = log_mel_spectrogram(a, pal)
+        mel_db = fused_log_mel_frontend(
+            a, sample_rate=base.sample_rate, n_fft=base.n_fft,
+            hop_length=base.hop_length, n_mels=base.n_mels,
+            f_min=base.f_min, f_max=base.effective_f_max)
+        ref_db = jnp.max(mel_db, axis=(-2, -1), keepdims=True)
+        got = normalize_log_mel(jnp.maximum(mel_db - ref_db, -80.0))
         assert got.shape == want.shape
         # normalized units: 0.02 dB tolerance -> 2.5e-4 normalized
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
