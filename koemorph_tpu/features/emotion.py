@@ -87,6 +87,10 @@ class EmotionFrontendConfig:
     sample_rate: int = 16000
     context_window: float = 20.0
     window_offsets: tuple[float, ...] = (0.0, 0.3, 0.6)
+    # throughput knob (egemaps backend): False selects frame-level
+    # jitter/shimmer proxies, ~25% faster batched decode — see
+    # ops.egemaps.EgemapsConfig.per_period_voice_quality
+    egemaps_per_period: bool = True
 
     @property
     def feature_dim(self) -> int:
@@ -112,7 +116,9 @@ def emotion_features(
     model owns that submodule — see SimplifiedDualStreamModel).
     """
     if cfg.backend == "egemaps":
-        ecfg = egemaps_cfg or EgemapsConfig(sample_rate=cfg.sample_rate)
+        ecfg = egemaps_cfg or EgemapsConfig(
+            sample_rate=cfg.sample_rate,
+            per_period_voice_quality=cfg.egemaps_per_period)
         if cfg.use_concatenation:
             return egemaps_concat_windows(audio, ecfg, cfg.window_offsets)
         return egemaps_functionals(audio, ecfg)

@@ -86,6 +86,9 @@ class SimplifiedDualStreamModel(nn.Module):
     emotion_backend: str = "egemaps"   # egemaps | basic | precomputed
     #                                  # | emotion2vec (in-model wav2vec2)
     use_concatenation: bool = True
+    # throughput knob: False trades the per-period jitter/shimmer tier
+    # for ~25% faster batched decode (ops.egemaps.EgemapsConfig)
+    egemaps_per_period: bool = True
     dropout: float = 0.1
     smoothing_alpha_init: float = 0.8
     stft_method: str = "matmul"        # matmul | rfft (see ops/frontend.py)
@@ -128,7 +131,8 @@ class SimplifiedDualStreamModel(nn.Module):
         return EmotionFrontendConfig(
             backend=self.emotion_backend,
             use_concatenation=self.use_concatenation,
-            sample_rate=self.sample_rate)
+            sample_rate=self.sample_rate,
+            egemaps_per_period=self.egemaps_per_period)
 
     @property
     def hop_length(self) -> int:

@@ -103,6 +103,14 @@ class EgemapsConfig:
     # emulation) with no behavioral drift in the analytic test battery;
     # dB-scale outputs and CMNDF ratios tolerate it comfortably.
     precision: str = "high"
+    # Per-period voice quality (default): jitter from half-window
+    # waveform-matched periods, shimmer from glottal-cycle peak
+    # amplitudes — the eGeMAPS definitions. False selects the cheaper
+    # frame-level proxies (frame-to-frame F0 deltas / frame-RMS dB),
+    # trading the last fidelity tier for ~25% more batched-decode
+    # throughput (134k -> 177k frames/s/chip at B=8 x 17 s on one v5e;
+    # docs/performance.md).
+    per_period_voice_quality: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -429,10 +437,11 @@ def compute_lld_block(
     # extended past YIN's tau_max to the deepest lag a voiced F0 can
     # request (f0 >= 0.9 * f0_min after parabolic refinement)
     n_acf = int(np.ceil(cfg.sample_rate / (cfg.f0_min * 0.9))) + 2
+    per_period = cfg.per_period_voice_quality
     core = yin_core(chunk, sample_rate=cfg.sample_rate, frame_length=512,
                     hop_length=hop, f0_min=cfg.f0_min, f0_max=cfg.f0_max,
                     center=False, n_acf_lags=n_acf, precision=cfg.precision,
-                    subwindow_periods=True)
+                    subwindow_periods=per_period)
     f0 = core.result.f0_hz
     voiced = core.result.voiced_flag
 
@@ -442,9 +451,11 @@ def compute_lld_block(
     frames = core.frames[..., off:off + cfg.frame_length]
     wframes = frames * hann_window(cfg.frame_length)
     return _lld_math(frames, wframes, f0, voiced, cfg, carry=carry,
-                     yin_acf=core.acf, yin_frames=core.frames,
+                     yin_acf=core.acf,
+                     yin_frames=core.frames if per_period else None,
                      subwindow_periods=(core.period_first,
-                                        core.period_second))
+                                        core.period_second)
+                     if per_period else None)
 
 
 def _lld_math(

@@ -142,7 +142,8 @@ class StreamingConfig:
         return EmotionFrontendConfig(
             backend=self.emotion_backend,
             use_concatenation=self.use_concatenation,
-            sample_rate=self.sample_rate)
+            sample_rate=self.sample_rate,
+            egemaps_per_period=self.egemaps_per_period)
 
     @property
     def emotion_raw_dim(self) -> int:
@@ -164,9 +165,14 @@ class StreamingConfig:
     def use_lld_ring(self) -> bool:
         return self.incremental_lld and self.emotion_backend == "egemaps"
 
+    # throughput knob, matching the model's egemaps_per_period
+    egemaps_per_period: bool = True
+
     @property
     def egemaps_config(self) -> EgemapsConfig:
-        return EgemapsConfig(sample_rate=self.sample_rate)
+        return EgemapsConfig(
+            sample_rate=self.sample_rate,
+            per_period_voice_quality=self.egemaps_per_period)
 
     @property
     def lld_ring_rows(self) -> int:
@@ -234,6 +240,7 @@ class StreamingConfig:
             use_concatenation=model.use_concatenation,
             use_learnable_weights=model.use_learnable_weights,
             fusion_temperature=model.fusion_temperature,
+            egemaps_per_period=model.egemaps_per_period,
             **overrides)
 
 

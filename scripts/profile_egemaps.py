@@ -74,7 +74,10 @@ def scan_timed(fn, args, *, rtt: float, iters: int = 8, reps: int = 3,
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) / iters
+        # XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        # count, so the whole-program flops ~= one iteration's flops (the
+        # round-3 saturation sweep was first read 16x low by dividing).
+        flops = float(cost.get("flops", 0.0))
     except Exception:
         flops = 0.0
     _fetch(run(*args))

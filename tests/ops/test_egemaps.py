@@ -229,3 +229,24 @@ class TestSegmentStatsExact:
             assert int(n) == len(lens)
             assert abs(float(mean_s) - lens.mean() * 0.01) < 1e-6
             assert abs(float(std_s) - lens.std() * 0.01) < 1e-6
+
+
+class TestPerPeriodToggle:
+    def test_proxy_tier_finite_and_distinct(self):
+        """per_period_voice_quality=False selects the cheaper frame-level
+        jitter/shimmer proxies (throughput mode); both tiers must be
+        finite and they must actually differ on modulated speech."""
+        import numpy as np
+
+        sr = 16000
+        t = np.arange(0, 2.0, 1 / sr)
+        env = 1.0 + 0.3 * np.sin(2 * np.pi * 4.0 * t)
+        x = jnp.asarray((0.4 * env * np.sin(2 * np.pi * 200.0 * t))
+                        .astype(np.float32))
+        full = egemaps_functionals(x, EgemapsConfig())
+        proxy = egemaps_functionals(
+            x, EgemapsConfig(per_period_voice_quality=False))
+        assert np.isfinite(np.asarray(full)).all()
+        assert np.isfinite(np.asarray(proxy)).all()
+        i = FEATURE_NAMES.index("shimmerLocaldB_sma3nz_amean")
+        assert abs(float(full[i]) - float(proxy[i])) > 1e-4
