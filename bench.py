@@ -21,6 +21,12 @@ Methodology (all timings are device compute time per frame):
   refreshes -> the p99/max frame), and the production cadence (-> mean).
   With 11% of frames refreshing, p99 IS a refresh frame and p50 a base
   frame.
+* The constructed distribution is cross-checked by a *sampled* one:
+  ``trace_p50/p99_ms`` come from a ``jax.profiler`` device trace of 630
+  individually dispatched chained steps at production cadence — each
+  trace event is one frame's true device execution time, including
+  module-launch overhead and queueing the scan construction cannot see
+  (``koemorph_tpu/utils/trace_latency.py``).
 * ``full_window`` is the reference-equivalent recompute (whole 8.5 s mel
   window + 3-window eGeMAPS + attention each frame,
   SimplifiedDualStreamModel) — the apples-to-apples number against the
@@ -132,6 +138,45 @@ def stream_metrics(params, fps: int, rtt: float, n_frames: int = 600):
     }, cfg
 
 
+def trace_metrics(params, cfg, n_steps: int = 630):
+    """Device-truth cross-check of the constructed p50/p99: dispatch
+    ``n_steps`` *individual* chained streaming steps at the production
+    refresh cadence under a ``jax.profiler`` device trace and read each
+    execution's device duration from the trace (VERDICT r2 item 3).
+
+    Unlike the scan-based construction, every execution here pays real
+    module-launch overhead and any queueing jitter, and the refresh
+    frames land in the histogram at their natural 1-in-``refresh_every``
+    rate — so ``trace_p99_ms`` is a sampled refresh frame and
+    ``trace_p50_ms`` a sampled base frame.
+    """
+    from koemorph_tpu.runtime.streaming import (
+        init_stream_state, stream_frame)
+    from koemorph_tpu.utils.trace_latency import (
+        capture_step_trace, summarize_ms)
+
+    @jax.jit
+    def stream_step(carry, hop_audio):
+        params, state = carry
+        _out, state = stream_frame(params, state, hop_audio, cfg)
+        return (params, state)
+
+    rng = np.random.default_rng(1)
+    hops = [
+        jax.device_put(jnp.asarray(h))
+        for h in rng.standard_normal(
+            (n_steps, cfg.hop_length)).astype(np.float32) * 0.1
+    ]
+    durs = capture_step_trace(
+        stream_step, (params, init_stream_state(cfg)), hops,
+        log_dir="/tmp/koemorph-bench-trace", warmup=2 * cfg.emotion_update_frames)
+    samples = durs.get("jit_stream_step")
+    if not samples:
+        raise RuntimeError(
+            f"no jit_stream_step device events in trace; saw {sorted(durs)[:8]}")
+    return summarize_ms(samples)
+
+
 def main() -> None:
     from koemorph_tpu.models.dual_stream_model import (
         SequentialDualStreamModel, SimplifiedDualStreamModel, TemporalState)
@@ -154,7 +199,21 @@ def main() -> None:
     init_s = time.perf_counter() - t0
 
     # ---- primary: streaming per-frame latency at 30 fps and 60 fps ----
-    s30, _ = stream_metrics(params, fps=30, rtt=rtt)
+    s30, cfg30 = stream_metrics(params, fps=30, rtt=rtt)
+
+    # ---- device-truth cross-check: sampled per-step trace histogram ----
+    try:
+        tr30 = trace_metrics(params, cfg30)
+        trace_fields = {
+            "trace_p50_ms": round(tr30["p50_ms"], 4),
+            "trace_p90_ms": round(tr30["p90_ms"], 4),
+            "trace_p99_ms": round(tr30["p99_ms"], 4),
+            "trace_max_ms": round(tr30["max_ms"], 4),
+            "trace_mean_ms": round(tr30["mean_ms"], 4),
+            "trace_n_steps": tr30["n"],
+        }
+    except Exception as exc:  # never fail the bench on profiler issues
+        trace_fields = {"trace_error": f"{type(exc).__name__}: {exc}"}
 
     hop60 = 266
     model60 = SimplifiedDualStreamModel(
@@ -238,6 +297,7 @@ def main() -> None:
         "frames_per_sec_chip": round(frames_per_sec, 1),
         "batched_decode": {"batch": batch, "frames": batch * n_out,
                            "seconds": round(dec_s, 4)},
+        **trace_fields,
         "rtt_ms": round(rtt * 1e3, 3),
         "compile_s": round(s30["compile_s"], 2),
         "init_s": round(init_s, 2),

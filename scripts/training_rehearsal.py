@@ -118,6 +118,7 @@ def main() -> int:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    suffix = "" if args.fps == 30 else f"_{args.fps}fps"
     xs = np.arange(1, len(epochs) + 1)
     fig, ax = plt.subplots(1, 2, figsize=(10, 3.6))
     ax[0].plot(xs, [e["loss"] for e in epochs], marker="o")
@@ -126,7 +127,7 @@ def main() -> int:
         ax[1].plot(xs, [e["l1"] for e in epochs], marker="o", color="teal")
         ax[1].set(title="MAE (L1)", xlabel="epoch", ylabel="MAE")
     fig.tight_layout()
-    fig.savefig(ASSETS / "rehearsal_loss.png", dpi=110)
+    fig.savefig(ASSETS / f"rehearsal_loss{suffix}.png", dpi=110)
 
     stream_keys = [k for k in epochs[0]
                    if "stream" in k or "weight" in k]
@@ -137,7 +138,7 @@ def main() -> int:
         ax.legend(fontsize=7)
         ax.set(title="stream-weight specialization", xlabel="epoch")
         fig.tight_layout()
-        fig.savefig(ASSETS / "rehearsal_streams.png", dpi=110)
+        fig.savefig(ASSETS / f"rehearsal_streams{suffix}.png", dpi=110)
 
     # ---- drive the checkpoint through the CLI surfaces ----
     ckpt = work / "checkpoints" / "last"
@@ -173,8 +174,13 @@ def main() -> int:
                    "--format", "saved_model", "--cpu"])
 
     first, last = epochs[0], epochs[-1]
+    # fps=30 writes the main report; fps=60 appends its own section so
+    # both tables coexist (VERDICT r2 item 5: "a 60 fps table")
+    head = ("# Training dress rehearsal (production sequential model)"
+            if args.fps == 30 else
+            f"## {args.fps} fps variant (512-frame mel window)")
     report = [
-        "# Training dress rehearsal (production sequential model)",
+        head,
         "",
         f"Generated by `scripts/training_rehearsal.py` — "
         f"{args.files} files x {args.duration:.0f} s speech-correlated "
@@ -183,6 +189,9 @@ def main() -> int:
         f"{args.epochs} epochs x {steps} steps, "
         f"{train_s:.0f} s wall.",
         "",
+    ]
+    if args.fps == 30:
+        report += [
         "Targets are sparse ARKit-like mocap derived from the audio "
         "(jawOpen tracks the energy envelope up to 0.6, lip shapes "
         "follow F0, one brow channel drifts slowly across the 0.1 "
@@ -204,6 +213,8 @@ def main() -> int:
         "near that floor mean the actives are tracked to within the "
         "injected noise.",
         "",
+        ]
+    report += [
         "| metric | first epoch | last epoch |",
         "|---|---|---|",
     ]
@@ -212,18 +223,29 @@ def main() -> int:
                       f"| {float(last[key]):.5f} |")
     report += [
         "",
-        "![loss](assets/rehearsal_loss.png)",
+        f"![loss](assets/rehearsal_loss{suffix}.png)",
         "",
     ]
     if stream_keys:
-        report.append("![streams](assets/rehearsal_streams.png)")
+        report.append(f"![streams](assets/rehearsal_streams{suffix}.png)")
         report.append("")
-    report += ["## Checkpoint driven through the CLI surfaces", ""]
+    cli_head = ("## Checkpoint driven through the CLI surfaces"
+                if args.fps == 30 else
+                "### Checkpoint driven through the CLI surfaces")
+    report += [cli_head, ""]
     for name, res in cli_log.items():
         status = "ok" if res["rc"] == 0 else f"FAILED rc={res['rc']}"
         report.append(f"- `{name}`: {status}")
     report.append("")
-    REPORT.write_text("\n".join(report))
+    if args.fps == 30:
+        REPORT.write_text("\n".join(report))
+    else:
+        existing = REPORT.read_text() if REPORT.exists() else ""
+        marker = f"## {args.fps} fps variant"
+        if marker in existing:      # re-run: replace the old section
+            existing = existing.split(marker)[0].rstrip() + "\n"
+        REPORT.write_text(existing.rstrip() + "\n\n"
+                          + "\n".join(report))
 
     summary = {
         "epochs": len(epochs),
