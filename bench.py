@@ -55,25 +55,10 @@ BASELINE_RTF_30 = 0.06        # RTX 3080, 30 fps enhanced (BASELINE.md)
 BASELINE_RTF_60 = 0.08        # RTX 3080, 60 fps (BASELINE.md)
 
 
-def _fetch(x) -> float:
-    """True synchronization: materialize a value on the host."""
-    return float(np.asarray(x).ravel()[0])
-
-
-def measure_rtt() -> float:
-    """Best-of-30 dispatch+fetch round trip of a trivial program (s)."""
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x)
-
-    x = jnp.zeros((8,), jnp.float32)
-    _fetch(trivial(x))
-    best = float("inf")
-    for _ in range(30):
-        t0 = time.perf_counter()
-        _fetch(trivial(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from koemorph_tpu.utils.profiling import (  # noqa: E402
+    fetch_scalar as _fetch,
+    measure_rtt,
+)
 
 
 def timed_call(fn, *args, rtt: float, reps: int = 3) -> float:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -345,22 +345,33 @@ def _spectral_peak_db(mag_db: jnp.ndarray, center_bin: jnp.ndarray
 class LldCarry(NamedTuple):
     """Cross-chunk continuity state for the pairwise LLDs (spectral flux,
     jitter, shimmer), used by :func:`compute_lld_block` so a streaming LLD
-    ring matches the monolithic :func:`compute_llds` at chunk boundaries."""
+    ring matches the monolithic :func:`compute_llds` at chunk boundaries.
+
+    With per-period voice quality (the default) jitter/shimmer are
+    measured WITHIN each analysis frame and need no cross-frame state —
+    only spectral flux carries. With ``per_period_voice_quality=False``
+    the frame-pairwise fallbacks need the previous frame's period/
+    voicing/amplitude, carried in the optional fields (None in per-period
+    mode so the pytree structure stays config-static)."""
 
     prev_mag: jnp.ndarray      # (..., n_bins) previous magnitude spectrum
+    prev_period: Optional[jnp.ndarray] = None   # (...,) seconds
+    prev_voiced: Optional[jnp.ndarray] = None   # (...,) bool
+    prev_amp: Optional[jnp.ndarray] = None      # (...,) frame RMS
 
 
 def silence_lld_carry(cfg: EgemapsConfig = EgemapsConfig()) -> LldCarry:
-    """Carry representing preceding silence (stream start).
-
-    Only spectral flux needs cross-frame state since round 3: jitter and
-    shimmer are per-period measurements WITHIN each analysis frame
-    (sub-window waveform matching / cycle-peak amplitudes), matching the
-    OpenSMILE definitions instead of the earlier frame-to-frame proxies.
-    """
+    """Carry representing preceding silence (stream start)."""
     n_bins = cfg.n_fft // 2 + 1
+    if cfg.per_period_voice_quality:
+        return LldCarry(
+            prev_mag=jnp.full((n_bins,), 1e-10, jnp.float32),
+        )
     return LldCarry(
         prev_mag=jnp.full((n_bins,), 1e-10, jnp.float32),
+        prev_period=jnp.zeros((), jnp.float32),
+        prev_voiced=jnp.zeros((), bool),
+        prev_amp=jnp.zeros((), jnp.float32),
     )
 
 
@@ -376,6 +387,7 @@ LLD_RING_SPEC: tuple[tuple[str, tuple[int, ...], object], ...] = (
     ("spectral_flux", (), jnp.float32), ("mfcc", (4,), jnp.float32),
     ("formant_freq", (3,), jnp.float32), ("formant_bw", (3,), jnp.float32),
     ("formant_rel", (3,), jnp.float32), ("formant_valid", (3,), bool),
+    ("jitter_valid", (), bool), ("shimmer_valid", (), bool),
     ("frame_power", (), jnp.float32),
 )
 
@@ -525,14 +537,23 @@ def _lld_math(
         ok = voiced & (p1 > 0) & (p2 > 0)
         jitter = jnp.where(
             ok, jnp.abs(p2 - p1) / jnp.maximum(0.5 * (p1 + p2), 1e-6), 0.0)
+        jitter_valid = ok
     else:
-        # fallback (no YIN sub-window data): frame-to-frame F0 deltas
+        # fallback (no YIN sub-window data): frame-to-frame F0 deltas.
+        # A carry with continuity fields supplies the previous chunk's
+        # last frame; otherwise the first frame duplicates itself
+        # (monolithic zero-at-frame-0 semantics).
         period = jnp.where(f0 > 0, 1.0 / jnp.maximum(f0, 1e-3), 0.0)
+        if carry is not None and carry.prev_period is not None:
+            first_p, first_v = carry.prev_period, carry.prev_voiced
+        else:
+            first_p, first_v = period[..., 0], voiced[..., 0]
         period_prev = jnp.concatenate(
-            [period[..., :1], period[..., :-1]], axis=-1)
+            [first_p[..., None], period[..., :-1]], axis=-1)
         voiced_prev = jnp.concatenate(
-            [voiced[..., :1], voiced[..., :-1]], axis=-1)
-        jitter = jnp.where(voiced & voiced_prev,
+            [first_v[..., None], voiced[..., :-1]], axis=-1)
+        jitter_valid = voiced & voiced_prev
+        jitter = jnp.where(jitter_valid,
                            jnp.abs(period - period_prev)
                            / jnp.maximum(period, 1e-6), 0.0)
 
@@ -542,13 +563,22 @@ def _lld_math(
     # from the frame's period — masks are iota comparisons, no gathers —
     # over the 512-sample YIN frame (covers >= 2 cycles for f0 >= 63 Hz).
     if yin_frames is not None:
-        shimmer = _cycle_peak_shimmer(yin_frames, f0, voiced, sr)
+        shimmer, shimmer_valid = _cycle_peak_shimmer(yin_frames, f0, voiced,
+                                                     sr)
     else:
-        amp_prev = jnp.concatenate([amp[..., :1], amp[..., :-1]], axis=-1)
+        # fallback: frame-to-frame RMS deltas, with the same carry
+        # continuity as the jitter fallback above
+        if carry is not None and carry.prev_amp is not None:
+            first_a, first_av = carry.prev_amp, carry.prev_voiced
+        else:
+            first_a, first_av = amp[..., 0], voiced[..., 0]
+        amp_prev = jnp.concatenate(
+            [first_a[..., None], amp[..., :-1]], axis=-1)
         voiced_prev = jnp.concatenate(
-            [voiced[..., :1], voiced[..., :-1]], axis=-1)
+            [first_av[..., None], voiced[..., :-1]], axis=-1)
+        shimmer_valid = voiced & voiced_prev
         shimmer = jnp.where(
-            voiced & voiced_prev,
+            shimmer_valid,
             jnp.abs(20.0 * (jnp.log10(amp + 1e-9)
                             - jnp.log10(amp_prev + 1e-9))), 0.0)
 
@@ -641,8 +671,13 @@ def _lld_math(
     # energy of the spectral harmonic peak nearest the formant centre
     # frequency, relative to the F0 peak H1 — not the LPC envelope
     # height) ---
+    # harmonic index bound: the deepest valid combination is F3 just under
+    # 5450 Hz over the lowest post-refinement f0 (0.9 * f0_min) — ~123 for
+    # the default 50 Hz floor. A tighter static clip would silently read
+    # A1..A3 at the wrong harmonic for low-pitched voices.
+    k_max = float(np.ceil(5450.0 / max(cfg.f0_min * 0.9, 1.0)))
     k_harm = jnp.clip(jnp.round(fmt_f / jnp.maximum(f0, 1.0)[..., None]),
-                      1.0, 64.0)
+                      1.0, k_max)
     mults = jnp.concatenate(
         [jnp.ones_like(f0)[..., None], jnp.full_like(f0, 2.0)[..., None],
          k_harm], axis=-1)                           # (..., T, 5)
@@ -669,21 +704,39 @@ def _lld_math(
         "spectral_flux": flux, "mfcc": mfcc,
         "formant_freq": fmt_f, "formant_bw": fmt_bw, "formant_rel": fmt_rel,
         "formant_valid": fmt_valid,
+        "jitter_valid": jitter_valid, "shimmer_valid": shimmer_valid,
         "frame_power": amp * amp,
     }
-    new_carry = LldCarry(prev_mag=mag[..., -1, :])
+    if cfg.per_period_voice_quality:
+        new_carry = LldCarry(prev_mag=mag[..., -1, :])
+    else:
+        # frame-pairwise fallbacks need last-frame continuity state so the
+        # next chunk's first row measures against a real predecessor
+        last_period = jnp.where(
+            f0[..., -1] > 0, 1.0 / jnp.maximum(f0[..., -1], 1e-3), 0.0)
+        new_carry = LldCarry(
+            prev_mag=mag[..., -1, :],
+            prev_period=last_period,
+            prev_voiced=voiced[..., -1],
+            prev_amp=amp[..., -1],
+        )
     return lld, new_carry
 
 
 def _cycle_peak_shimmer(yin_frames: jnp.ndarray, f0: jnp.ndarray,
                         voiced: jnp.ndarray, sr: int,
-                        max_cycles: int = 8) -> jnp.ndarray:
+                        max_cycles: int = 8
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-period shimmer (dB) within each frame: peak |x| of consecutive
     glottal cycles, cycle boundaries at multiples of the frame's period.
 
     All selection is arithmetic (iota/period comparisons) — no gathers.
     Frames whose period exceeds half the frame hold < 2 complete cycles
-    and report 0 (OpenSMILE likewise needs >= 2 period peaks).
+    and cannot be measured; they report (0, valid=False) so the
+    functionals exclude them instead of averaging zeros (OpenSMILE
+    likewise needs >= 2 period peaks and skips frames without them —
+    matters for f0 < ~63 Hz where no 512-sample frame fits 2 cycles).
+    Returns ``(shimmer_db, valid)``.
     """
     n = yin_frames.shape[-1]
     tau = jnp.where(f0 > 0, sr / jnp.maximum(f0, 1.0), jnp.inf)  # samples
@@ -701,7 +754,8 @@ def _cycle_peak_shimmer(yin_frames: jnp.ndarray, f0: jnp.ndarray,
                                - jnp.log10(a[..., :-1] + 1e-9)))
     s = jnp.sum(jnp.where(pair_ok, ratio_db, 0.0), axis=-1)
     cnt = jnp.sum(pair_ok.astype(jnp.float32), axis=-1)
-    return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0)
+    return (jnp.where(cnt > 0, s / jnp.maximum(cnt, 1.0), 0.0),
+            voiced & (cnt > 0))
 
 
 # ---------------------------------------------------------------------------
@@ -745,9 +799,17 @@ def functionals_from_llds(
     # (opensmile_extractor.py:460-502) never see past the window end.
     nz_within = raw_voiced & all_mask
     nz = lambda key: _sma3(lld[key], within=nz_within)  # noqa: E731
+    # jitter/shimmer carry their own measurability masks (a voiced frame
+    # whose period does not fit 2 cycles, or whose predecessor was
+    # unvoiced, holds a 0 that is NOT a measurement) — smooth and reduce
+    # strictly within the valid frames so unmeasurable frames are
+    # excluded, not averaged as zeros (OpenSMILE skips them too)
+    jit_mask = lld.get("jitter_valid", raw_voiced) & all_mask
+    shim_mask = lld.get("shimmer_valid", raw_voiced) & all_mask
     lld = dict(lld)
-    for key in ("f0_semitone", "jitter", "shimmer_db", "hnr_db",
-                "h1_h2", "h1_a3"):
+    lld["jitter"] = _sma3(lld["jitter"], within=jit_mask)
+    lld["shimmer_db"] = _sma3(lld["shimmer_db"], within=shim_mask)
+    for key in ("f0_semitone", "hnr_db", "h1_h2", "h1_a3"):
         lld[key] = nz(key)
     for key in ("loudness", "alpha_ratio", "hammarberg", "slope_0_500",
                 "slope_500_1500", "spectral_flux"):
@@ -774,13 +836,16 @@ def functionals_from_llds(
 
     # F0 (10)
     feats += contour_functionals(lld["f0_semitone"], voiced)
-    # jitter (2)
-    feats += [_masked_mean(lld["jitter"], voiced),
-              _stddev_norm(lld["jitter"], voiced)]
+    # jitter (2) — measurable voiced frames only
+    feats += [_masked_mean(lld["jitter"], jit_mask),
+              _stddev_norm(lld["jitter"], jit_mask)]
     # loudness (10) — over all frames (sma3, not nz)
     feats += contour_functionals(lld["loudness"], all_mask)
-    # shimmer (2), HNR (2), H1-H2 (2)
-    for key in ("shimmer_db", "hnr_db", "h1_h2"):
+    # shimmer (2) — measurable voiced frames only
+    feats += [_masked_mean(lld["shimmer_db"], shim_mask),
+              _stddev_norm(lld["shimmer_db"], shim_mask)]
+    # HNR (2), H1-H2 (2)
+    for key in ("hnr_db", "h1_h2"):
         feats += [_masked_mean(lld[key], voiced),
                   _stddev_norm(lld[key], voiced)]
     # H1-A3 (2): only frames where F3 exists

@@ -17,7 +17,43 @@ from typing import Callable, Optional, Sequence
 import jax
 import numpy as np
 
-__all__ = ["FrameTimer", "benchmark", "trace", "rtf_report"]
+__all__ = ["FrameTimer", "benchmark", "trace", "rtf_report",
+           "fetch_scalar", "measure_rtt"]
+
+
+def fetch_scalar(x) -> float:
+    """True synchronization: materialize one value on the host.
+
+    The canonical sync for every tunnel-aware timing path (bench.py and
+    the profiling scripts import this instead of keeping copies, so the
+    RTT methodology can only be changed in one place).
+    """
+    return float(np.asarray(x).ravel()[0])
+
+
+def measure_rtt() -> float:
+    """Best-of-30 dispatch+fetch round trip of a trivial program (s).
+
+    Under the tunneled single-chip setup the host<->device round trip
+    (~tens of ms) dwarfs sub-ms device compute; subtracting this floor is
+    how all timing scripts recover device-side cost from wall clock. The
+    companion device-trace methodology (utils/trace_latency.py) validates
+    the subtraction against profiler ground truth.
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    x = jnp.zeros((8,), jnp.float32)
+    fetch_scalar(trivial(x))
+    best = float("inf")
+    for _ in range(30):
+        t0 = time.perf_counter()
+        fetch_scalar(trivial(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 class FrameTimer:

@@ -27,23 +27,10 @@ from koemorph_tpu.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 
 
-def _fetch(x) -> float:
-    return float(np.asarray(x).ravel()[0])
-
-
-def measure_rtt() -> float:
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x)
-
-    x = jnp.zeros((8,), jnp.float32)
-    _fetch(trivial(x))
-    best = float("inf")
-    for _ in range(30):
-        t0 = time.perf_counter()
-        _fetch(trivial(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from koemorph_tpu.utils.profiling import (  # noqa: E402
+    fetch_scalar as _fetch,
+    measure_rtt,
+)
 
 
 def _tree_sum(out):
@@ -249,7 +236,8 @@ def main() -> None:
         report("yin diff+acf", ms, fl)
 
         ms, fl = scan_timed(
-            lambda f: cmndf(yin_frame_difference(f, tau_max, prec)),
+            lambda f: cmndf(yin_frame_difference(f, tau_max, prec),
+                            precision=prec),
             (yframes,), rtt=rtt)
         report("yin diff+cmndf", ms, fl)
 
@@ -277,7 +265,7 @@ def main() -> None:
 
         def pick_stage(f):
             d, _ = _yin_difference_and_acf(f, tau_max, tau_max + 1, prec)
-            dprime = cmndf(d)
+            dprime = cmndf(d, precision=prec)
             region = dprime[..., 32:]
             nxt = jnp.concatenate(
                 [region[..., 1:], jnp.full_like(region[..., :1], jnp.inf)],

@@ -40,23 +40,10 @@ import jax                                                      # noqa: E402
 import jax.numpy as jnp                                         # noqa: E402
 
 
-def _fetch(x) -> float:
-    return float(np.asarray(x).ravel()[0])
-
-
-def measure_rtt() -> float:
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x)
-
-    x = jnp.zeros((8,), jnp.float32)
-    _fetch(trivial(x))
-    best = float("inf")
-    for _ in range(30):
-        t0 = time.perf_counter()
-        _fetch(trivial(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from koemorph_tpu.utils.profiling import (  # noqa: E402
+    fetch_scalar as _fetch,
+    measure_rtt,
+)
 
 
 def profile_backend(name: str, model, rtt: float, n_frames: int):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from koemorph_tpu.ops.egemaps import (
     FEATURE_NAMES,
@@ -143,12 +144,20 @@ class TestLLDs:
 class TestLldBlocks:
     """Chunked LLD computation (the streaming LLD-ring path)."""
 
-    def test_block_split_matches_single_block(self):
-        """Two half-blocks chained by LldCarry == one big block, exactly."""
+    @pytest.mark.parametrize("per_period", [True, False])
+    def test_block_split_matches_single_block(self, per_period):
+        """Two half-blocks chained by LldCarry == one big block, exactly.
+
+        Covers both voice-quality tiers: per-period (default, stateless
+        across frames) and the frame-pairwise fallback, whose jitter/
+        shimmer need the carry's continuity fields at chunk boundaries
+        (review r3: without them the first row of every refresh block
+        reported jitter=shimmer=0 — train/serve skew vs the batch path).
+        """
         from koemorph_tpu.ops.egemaps import (
             compute_lld_block, silence_lld_carry)
 
-        cfg = EgemapsConfig()
+        cfg = EgemapsConfig(per_period_voice_quality=per_period)
         hop = cfg.hop_length
         rng = np.random.default_rng(7)
         n_rows = 40
