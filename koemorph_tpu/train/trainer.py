@@ -152,6 +152,7 @@ class Trainer:
             self._train_step_impl, donate_argnums=0,
             out_shardings=(replicated_sharding(self.mesh), None))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._epoch_scan = None     # lazily-jitted lax.scan epoch runner
 
     # -- subclass surface --------------------------------------------------
 
@@ -222,6 +223,88 @@ class Trainer:
         return {k: float(np.mean([np.asarray(m[k]) for m in collected]))
                 for k in collected[0]}
 
+    def train_epoch_scan(self, loader: Iterable[dict]) -> dict[str, float]:
+        """One epoch as a single device-resident ``lax.scan`` over steps.
+
+        ``train_epoch`` pays a dispatch + host->device transfer round trip
+        per step; through the tunneled single-chip setup that overhead is
+        ~1000x the sub-ms device step (scripts/profile_training.py measured
+        0.88 ms device vs ~1.2 s wall per step). Here the epoch's batches
+        are stacked host-side, uploaded in one transfer, and every
+        ``value_and_grad`` + optax update runs inside ONE jitted scan; the
+        per-step metrics come back as (S,) stacks in a single fetch and are
+        replayed into TensorBoard with the same tags/step numbers.
+
+        Identical math to ``train_epoch`` (same ``_train_step_impl``, same
+        per-step dropout-rng fold on ``state.step``) — pinned by
+        ``test_scan_epoch_matches_step_loop``. Constraints: every batch in
+        the epoch must have identical shapes (uniform loader / drop_last),
+        and the per-step host hooks (``_on_step_metrics`` sequence stats,
+        attention-image logging) do not run — use ``train_epoch`` when
+        those matter more than wall clock.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+        from koemorph_tpu.parallel.mesh import (
+            DATA_AXIS, replicated_sharding)
+
+        raw = [{k: np.asarray(v) for k, v in b.items()
+                if not isinstance(v, list)} for b in loader]
+        if not raw:
+            return {}
+        sizes = [next(v.shape[0] for v in b.values() if v.ndim > 0)
+                 for b in raw]
+        # scan needs every step's batch identically shaped: pad each batch
+        # to the epoch's max size rounded up to the device count (partial
+        # file-boundary batches are masked out of the loss, same mechanism
+        # as pad_batch_to_multiple in the step loop)
+        n_dev = self.mesh.devices.size
+        target = -(-max(sizes) // n_dev) * n_dev
+        prepared: list[dict] = []
+        for b, real in zip(raw, sizes):
+            padded = {}
+            for k, v in b.items():
+                if v.ndim > 0 and v.shape[0] == real and real < target:
+                    reps = np.repeat(v[-1:], target - real, axis=0)
+                    v = np.concatenate([v, reps], axis=0)
+                padded[k] = v
+            mask = np.zeros((target,), np.float32)
+            mask[:real] = 1.0
+            padded["sample_mask"] = mask
+            prepared.append(padded)
+        n_steps = len(prepared)
+        stacked = {k: np.stack([np.asarray(p[k]) for p in prepared])
+                   for k in prepared[0]}
+        shard = NamedSharding(self.mesh, PartitionSpec(None, DATA_AXIS))
+        repl = replicated_sharding(self.mesh)
+        stacked = {
+            k: jax.device_put(v, shard if v.ndim >= 2 else repl)
+            for k, v in stacked.items()
+        }
+
+        if self._epoch_scan is None:
+            def epoch_impl(state, batches):
+                return jax.lax.scan(self._train_step_impl, state, batches)
+
+            self._epoch_scan = jax.jit(
+                epoch_impl, donate_argnums=0,
+                out_shardings=(replicated_sharding(self.mesh), None))
+
+        t0 = time.time()
+        self.state, metrics = self._epoch_scan(self.state, stacked)
+        host = {k: np.asarray(v) for k, v in metrics.items()}
+        log_every = int(self.train_cfg.get("logging", {})
+                        .get("log_every_n_steps", 50))
+        for i in range(n_steps):
+            step = self.global_step + i + 1
+            if step % log_every == 0:
+                scalars = {k: float(v[i]) for k, v in host.items()}
+                scalars["lr"] = float(self._schedule(step))
+                self._log_scalars("train", scalars, step)
+        self.global_step += n_steps
+        logger.info("epoch %d (scan): %d steps in %.1fs", self.epoch,
+                    n_steps, time.time() - t0)
+        return {k: float(v.mean()) for k, v in host.items()}
+
     def validate(self, loader: Iterable[dict]) -> dict[str, float]:
         sums: dict[str, float] = {}
         count = 0
@@ -262,7 +345,11 @@ class Trainer:
 
     def fit(self, train_loader_fn: Callable[[], Iterable[dict]],
             val_loader_fn: Optional[Callable[[], Iterable[dict]]] = None,
-            max_epochs: Optional[int] = None) -> dict:
+            max_epochs: Optional[int] = None,
+            use_scan: bool = False) -> dict:
+        """Epoch loop. ``use_scan=True`` runs each epoch device-resident
+        via :meth:`train_epoch_scan` (same math, ~no per-step host
+        overhead; per-step hooks don't run — see its docstring)."""
         max_epochs = max_epochs or int(self.train_cfg.get("max_epochs", 1))
         check_every = int(self.train_cfg.get("check_val_every_n_epoch", 1))
         es_cfg = self.train_cfg.get("early_stopping", {})
@@ -279,7 +366,8 @@ class Trainer:
             # get it (Prefetcher.set_epoch / dataset.set_epoch hooks)
             loader = (train_loader_fn(self.epoch) if takes_epoch
                       else train_loader_fn())
-            train_metrics = self.train_epoch(loader)
+            train_metrics = (self.train_epoch_scan(loader) if use_scan
+                             else self.train_epoch(loader))
             history["train"].append(train_metrics)
             val_loss = None
             if val_loader_fn is not None and \
@@ -341,10 +429,21 @@ class Trainer:
                         deterministic=True))
             out = self._attn_image_fn(self.state.params,
                                       batch["audio"][:1])
-        except TypeError:
-            # model without a return_attention path: disable permanently
-            # (False sentinel) so the failed trace is paid exactly once
-            self._attn_image_fn = False
+        except TypeError as e:
+            if "return_attention" in str(e):
+                # model without a return_attention path: disable permanently
+                # (False sentinel) so the failed trace is paid exactly once
+                logger.info(
+                    "attention images disabled: model has no "
+                    "return_attention path (%s)", e)
+                self._attn_image_fn = False
+            else:
+                # unrelated TypeError (e.g. a malformed batch element):
+                # drop the cached fn and retry on the next interval rather
+                # than silently losing heatmaps for the whole run
+                logger.warning("attention image logging failed, will "
+                               "retry: %s", e)
+                self._attn_image_fn = None
             return
         except Exception as e:  # pragma: no cover - defensive
             logger.debug("attention image logging skipped: %s", e)

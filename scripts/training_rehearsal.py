@@ -46,7 +46,18 @@ def main() -> int:
     ap.add_argument("--work-dir", default="outputs/rehearsal")
     ap.add_argument("--files", type=int, default=8)
     ap.add_argument("--duration", type=float, default=20.0)
-    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="Slightly hotter than a production schedule "
+                         "(reference 1e-4..5e-4 over tens of thousands of "
+                         "steps) because the rehearsal is short; runs much "
+                         "hotter (5e-3) collapse the sigmoid outputs to "
+                         "zero under the L1-to-zero pressure on the ~48 "
+                         "inactive channels. The device-resident scan "
+                         "epoch runner (Trainer.train_epoch_scan) makes "
+                         "thousands of steps affordable, so heat is no "
+                         "longer needed to reach the fusion-softmax "
+                         "operating point")
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--d-model", type=int, default=256)
     ap.add_argument("--fps", type=int, default=30, choices=(30, 60),
@@ -86,7 +97,7 @@ def main() -> int:
 
     tcfg = {
         "training": {
-            "optimizer": {"name": "adamw", "lr": 5e-4,
+            "optimizer": {"name": "adamw", "lr": args.lr,
                           "weight_decay": 1e-5},
             "lr_scheduler": {"name": "cosine", "t_max": args.epochs,
                              "eta_min": 1e-6},
@@ -107,7 +118,11 @@ def main() -> int:
         return loader_fn()
 
     t0 = time.time()
-    history = trainer.fit(train_loader, None, max_epochs=args.epochs)
+    # device-resident epochs: the per-step host loop costs ~1.2 s/step
+    # through the TPU tunnel vs ~1 ms of device compute; scan makes a
+    # realistic-length rehearsal (thousands of steps) take minutes
+    history = trainer.fit(train_loader, None, max_epochs=args.epochs,
+                          use_scan=True)
     train_s = time.time() - t0
     epochs = history["train"]
 
@@ -186,8 +201,8 @@ def main() -> int:
         f"{args.files} files x {args.duration:.0f} s speech-correlated "
         f"synthetic data, SequentialDualStreamModel d={args.d_model}, "
         f"window {window}, stride 4, {args.fps} fps, "
-        f"{args.epochs} epochs x {steps} steps, "
-        f"{train_s:.0f} s wall.",
+        f"{args.epochs} epochs x {steps} steps, lr {args.lr:g}, "
+        f"device-resident scan epochs, {train_s:.0f} s wall.",
         "",
     ]
     if args.fps == 30:

@@ -127,6 +127,40 @@ class TestKoeMorphTrainer:
         val = trainer.validate(iter(_synthetic_batches(1, 8, 1600)))
         assert "loss" in val and np.isfinite(val["loss"])
 
+    def test_scan_epoch_matches_step_loop(self, tmp_path):
+        """train_epoch_scan (device-resident lax.scan) must reproduce the
+        per-step host loop's parameter trajectory exactly: same
+        _train_step_impl, same dropout-rng fold on state.step."""
+        import jax
+
+        def make():
+            model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
+                                            decoder_hidden=16)
+            return KoeMorphTrainer(model, {"training": TRAIN_CFG},
+                                   audio_samples=1600,
+                                   work_dir=tmp_path, steps_per_epoch=3)
+
+        batches = _synthetic_batches(3, 8, 1600)
+        # partial final batch: scan pads it to the epoch max and masks it
+        batches[-1] = {k: v[:5] for k, v in batches[-1].items()}
+
+        loop = make()
+        m_loop = loop.train_epoch(iter(batches))
+        scan = make()
+        m_scan = scan.train_epoch_scan(iter(batches))
+
+        assert scan.global_step == loop.global_step == 3
+        la = {jax.tree_util.keystr(p): leaf for p, leaf in
+              jax.tree_util.tree_leaves_with_path(loop.state.params)}
+        lb = {jax.tree_util.keystr(p): leaf for p, leaf in
+              jax.tree_util.tree_leaves_with_path(scan.state.params)}
+        assert la.keys() == lb.keys()
+        for k in la:
+            np.testing.assert_allclose(np.asarray(la[k]),
+                                       np.asarray(lb[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+        assert m_scan["loss"] == pytest.approx(m_loop["loss"], rel=1e-5)
+
     def test_fit_checkpoints(self, tmp_path):
         model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
                                         decoder_hidden=16)
