@@ -157,6 +157,12 @@ def main(argv=None) -> int:
     p.add_argument("--steps-per-epoch", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the work dir's last checkpoint")
+    p.add_argument("--scan-epochs", action="store_true",
+                   help="run each epoch device-resident in one jitted "
+                        "lax.scan (Trainer.train_epoch_scan): same math "
+                        "as the step loop, ~no per-step host overhead; "
+                        "per-step hooks (attention images, sequence "
+                        "stats) don't run")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("overrides", nargs="*", metavar="key=value",
@@ -217,7 +223,7 @@ def main(argv=None) -> int:
             train_loader,
             (lambda: iter(dm.val_dataloader()))
             if dm.val_dataset else None,
-            max_epochs=max_epochs)
+            max_epochs=max_epochs, use_scan=args.scan_epochs)
     else:
         from koemorph_tpu.data.sequential import (
             create_sequential_dataloader)
@@ -247,7 +253,8 @@ def main(argv=None) -> int:
             dataset.set_epoch(epoch)     # stride schedule + file reshuffle
             return loader_fn()
 
-        history = trainer.fit(train_loader, None, max_epochs=max_epochs)
+        history = trainer.fit(train_loader, None, max_epochs=max_epochs,
+                              use_scan=args.scan_epochs)
 
     final = history["train"][-1] if history["train"] else {}
     logger.info("training done: %s",

@@ -352,6 +352,11 @@ class Trainer:
         overhead; per-step hooks don't run — see its docstring)."""
         max_epochs = max_epochs or int(self.train_cfg.get("max_epochs", 1))
         check_every = int(self.train_cfg.get("check_val_every_n_epoch", 1))
+        # checkpoint cadence: every save fetches params (+opt state) to the
+        # host — ~25 MB through the TPU tunnel for the flagship model — so
+        # short-epoch runs can thin it out; the final epoch always saves
+        ckpt_every = int(self.train_cfg.get("checkpoint", {})
+                         .get("every_n_epochs", 1))
         es_cfg = self.train_cfg.get("early_stopping", {})
         patience = int(es_cfg.get("patience", 0) or 0)
         best, since_best = float("inf"), 0
@@ -375,10 +380,13 @@ class Trainer:
                 val_metrics = self.validate(val_loader_fn())
                 history["val"].append(val_metrics)
                 val_loss = val_metrics.get("loss")
-            self.checkpoints.save(
-                self.state.params, epoch=self.epoch,
-                global_step=self.global_step, val_loss=val_loss,
-                opt_state=self.state.opt_state)
+            saved = ((self.epoch + 1) % max(1, ckpt_every) == 0
+                     or self.epoch + 1 == max_epochs)
+            if saved:
+                self.checkpoints.save(
+                    self.state.params, epoch=self.epoch,
+                    global_step=self.global_step, val_loss=val_loss,
+                    opt_state=self.state.opt_state)
             if val_loss is not None:
                 if val_loss < best:
                     best, since_best = val_loss, 0
@@ -386,6 +394,12 @@ class Trainer:
                     since_best += 1
                     if patience and since_best >= patience:
                         logger.info("Early stopping at epoch %d", self.epoch)
+                        if not saved:   # keep `last` current on early exit
+                            self.checkpoints.save(
+                                self.state.params, epoch=self.epoch,
+                                global_step=self.global_step,
+                                val_loss=val_loss,
+                                opt_state=self.state.opt_state)
                         break
         return history
 

@@ -81,6 +81,22 @@ class TestCliSmoke:
         metrics = json.loads(r2.stdout.strip().splitlines()[-1])
         assert "mae" in metrics
 
+    def test_train_scan_epochs(self, tmp_path):
+        """--scan-epochs runs the device-resident lax.scan epoch path
+        through the CLI (trajectory equality vs the step loop is pinned
+        in tests/train/test_trainer.py)."""
+        work = tmp_path / "run_scan"
+        r = run(["-m", "koemorph_tpu.train",
+                 "--config", "configs/config.yaml", "--synthetic", "2",
+                 "--max-epochs", "1", "--steps-per-epoch", "1", "--cpu",
+                 "--scan-epochs",
+                 "--work-dir", str(work), "data.batch_size=2",
+                 "model.d_model=32", "model.num_heads=4"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (work / "checkpoints" / "last").exists()
+        metrics = json.loads(r.stdout.strip().splitlines()[-1])
+        assert "loss" in metrics["final_train_metrics"]
+
     def test_integration_check(self, tmp_path):
         r = run(["scripts/integration_check.py", "--cpu",
                  "--seconds", "2"], timeout=560)

@@ -173,6 +173,26 @@ class TestKoeMorphTrainer:
         assert (tmp_path / "checkpoints" / "last").exists()
         assert (tmp_path / "checkpoints" / "best").exists()
 
+    def test_checkpoint_cadence(self, tmp_path):
+        """checkpoint.every_n_epochs thins the per-epoch orbax saves
+        (each fetches params+opt state through the tunnel) but the final
+        epoch always saves."""
+        cfg = dict(TRAIN_CFG,
+                   checkpoint={"keep_epoch_every": 1, "every_n_epochs": 3})
+        model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
+                                        decoder_hidden=16)
+        trainer = KoeMorphTrainer(model, {"training": cfg},
+                                  audio_samples=1600,
+                                  work_dir=tmp_path, steps_per_epoch=1)
+        trainer.fit(lambda: iter(_synthetic_batches(1, 8, 1600)),
+                    max_epochs=4)
+        ck = tmp_path / "checkpoints"
+        # epochs 2 (cadence) and 3 (final) save; 0 and 1 don't
+        assert (ck / "epoch_2").exists() and (ck / "epoch_3").exists()
+        assert not (ck / "epoch_0").exists()
+        assert not (ck / "epoch_1").exists()
+        assert (ck / "last").exists()
+
 
 class TestDualStreamTrainer:
     def test_step_with_window_targets(self, tmp_path):
