@@ -153,6 +153,7 @@ class Trainer:
             out_shardings=(replicated_sharding(self.mesh), None))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._epoch_scan = None     # lazily-jitted lax.scan epoch runner
+        self._epochs_scan_runners: dict = {}   # n_steps -> jitted runner
 
     # -- subclass surface --------------------------------------------------
 
@@ -223,6 +224,50 @@ class Trainer:
         return {k: float(np.mean([np.asarray(m[k]) for m in collected]))
                 for k in collected[0]}
 
+    def _stack_epoch(self, loader: Iterable[dict]) -> tuple[dict, int]:
+        """Stack an epoch's batches into one (S, B, ...) pytree on device.
+
+        Scan needs every step's batch identically shaped: each batch is
+        padded (repeat-last-row) to the epoch's max size rounded up to the
+        device count — partial file-boundary batches are masked out of the
+        loss by ``sample_mask``, the same mechanism as
+        ``pad_batch_to_multiple`` in the step loop. Arrays are placed with
+        the batch axis (axis 1) sharded over the data mesh.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+        from koemorph_tpu.parallel.mesh import (
+            DATA_AXIS, replicated_sharding)
+
+        raw = [{k: np.asarray(v) for k, v in b.items()
+                if not isinstance(v, list)} for b in loader]
+        if not raw:
+            return {}, 0
+        sizes = [next(v.shape[0] for v in b.values() if v.ndim > 0)
+                 for b in raw]
+        n_dev = self.mesh.devices.size
+        target = -(-max(sizes) // n_dev) * n_dev
+        prepared: list[dict] = []
+        for b, real in zip(raw, sizes):
+            padded = {}
+            for k, v in b.items():
+                if v.ndim > 0 and v.shape[0] == real and real < target:
+                    reps = np.repeat(v[-1:], target - real, axis=0)
+                    v = np.concatenate([v, reps], axis=0)
+                padded[k] = v
+            mask = np.zeros((target,), np.float32)
+            mask[:real] = 1.0
+            padded["sample_mask"] = mask
+            prepared.append(padded)
+        stacked = {k: np.stack([np.asarray(p[k]) for p in prepared])
+                   for k in prepared[0]}
+        shard = NamedSharding(self.mesh, PartitionSpec(None, DATA_AXIS))
+        repl = replicated_sharding(self.mesh)
+        stacked = {
+            k: jax.device_put(v, shard if v.ndim >= 2 else repl)
+            for k, v in stacked.items()
+        }
+        return stacked, len(prepared)
+
     def train_epoch_scan(self, loader: Iterable[dict]) -> dict[str, float]:
         """One epoch as a single device-resident ``lax.scan`` over steps.
 
@@ -243,43 +288,11 @@ class Trainer:
         attention-image logging) do not run — use ``train_epoch`` when
         those matter more than wall clock.
         """
-        from jax.sharding import NamedSharding, PartitionSpec
-        from koemorph_tpu.parallel.mesh import (
-            DATA_AXIS, replicated_sharding)
+        from koemorph_tpu.parallel.mesh import replicated_sharding
 
-        raw = [{k: np.asarray(v) for k, v in b.items()
-                if not isinstance(v, list)} for b in loader]
-        if not raw:
+        stacked, n_steps = self._stack_epoch(loader)
+        if not n_steps:
             return {}
-        sizes = [next(v.shape[0] for v in b.values() if v.ndim > 0)
-                 for b in raw]
-        # scan needs every step's batch identically shaped: pad each batch
-        # to the epoch's max size rounded up to the device count (partial
-        # file-boundary batches are masked out of the loss, same mechanism
-        # as pad_batch_to_multiple in the step loop)
-        n_dev = self.mesh.devices.size
-        target = -(-max(sizes) // n_dev) * n_dev
-        prepared: list[dict] = []
-        for b, real in zip(raw, sizes):
-            padded = {}
-            for k, v in b.items():
-                if v.ndim > 0 and v.shape[0] == real and real < target:
-                    reps = np.repeat(v[-1:], target - real, axis=0)
-                    v = np.concatenate([v, reps], axis=0)
-                padded[k] = v
-            mask = np.zeros((target,), np.float32)
-            mask[:real] = 1.0
-            padded["sample_mask"] = mask
-            prepared.append(padded)
-        n_steps = len(prepared)
-        stacked = {k: np.stack([np.asarray(p[k]) for p in prepared])
-                   for k in prepared[0]}
-        shard = NamedSharding(self.mesh, PartitionSpec(None, DATA_AXIS))
-        repl = replicated_sharding(self.mesh)
-        stacked = {
-            k: jax.device_put(v, shard if v.ndim >= 2 else repl)
-            for k, v in stacked.items()
-        }
 
         if self._epoch_scan is None:
             def epoch_impl(state, batches):
@@ -304,6 +317,77 @@ class Trainer:
         logger.info("epoch %d (scan): %d steps in %.1fs", self.epoch,
                     n_steps, time.time() - t0)
         return {k: float(v.mean()) for k, v in host.items()}
+
+    def train_epochs_scan(self, loader: Iterable[dict], n_epochs: int,
+                          shuffle_seed: int = 0) -> list[dict[str, float]]:
+        """Dataset-resident training: N epochs inside ONE jitted program.
+
+        Uploads the epoch's batches once and runs ``n_epochs`` full epochs
+        on device — each epoch is a ``lax.scan`` over a fresh on-device
+        ``jax.random.permutation`` of the step order, nested in a scan
+        over epochs. Eliminates the per-epoch host work that dominates
+        even ``train_epoch_scan`` (re-upload, per-epoch metric fetch,
+        checkpoint round trips): the rehearsal's 2000-step run is ~10 s
+        of device time in one dispatch vs ~28 min through the per-epoch
+        path on the tunneled chip.
+
+        Use when the epoch's WINDOW SET is epoch-invariant (fixed stride).
+        The on-device shuffle permutes STEP ORDER; batch membership is
+        fixed at upload (vs the host loader, which can also re-form
+        batches each epoch) — the standard fixed-batch trade-off.
+        Progressive/mixed stride schedules change the window set per
+        epoch: keep ``fit(use_scan=True)`` for those. Caller handles
+        checkpointing (one save at the end, or chunk calls every K
+        epochs).
+
+        Returns per-epoch mean metrics (one dict per epoch, host floats);
+        TensorBoard scalars are replayed at the configured cadence.
+        """
+        from koemorph_tpu.parallel.mesh import replicated_sharding
+
+        stacked, n_steps = self._stack_epoch(loader)
+        if not n_steps or n_epochs <= 0:
+            return []
+
+        runner = self._epochs_scan_runners.get(n_steps)
+        if runner is None:
+            def run(state, batches, epoch_keys):
+                def epoch_body(st, key):
+                    perm = jax.random.permutation(key, n_steps)
+
+                    def step(carry, i):
+                        batch_i = jax.tree_util.tree_map(
+                            lambda v: v[i], batches)
+                        return self._train_step_impl(carry, batch_i)
+
+                    return jax.lax.scan(step, st, perm)
+
+                return jax.lax.scan(epoch_body, state, epoch_keys)
+
+            runner = jax.jit(
+                run, donate_argnums=0,
+                out_shardings=(replicated_sharding(self.mesh), None))
+            self._epochs_scan_runners[n_steps] = runner
+        keys = jax.random.split(
+            jax.random.PRNGKey(shuffle_seed), n_epochs)
+        t0 = time.time()
+        self.state, metrics = runner(self.state, stacked, keys)
+        host = {k: np.asarray(v).reshape(n_epochs * n_steps)
+                for k, v in metrics.items()}
+        log_every = int(self.train_cfg.get("logging", {})
+                        .get("log_every_n_steps", 50))
+        for i in range(n_epochs * n_steps):
+            step = self.global_step + i + 1
+            if step % log_every == 0:
+                scalars = {k: float(v[i]) for k, v in host.items()}
+                scalars["lr"] = float(self._schedule(step))
+                self._log_scalars("train", scalars, step)
+        self.global_step += n_epochs * n_steps
+        self.epoch += n_epochs
+        logger.info("%d epochs x %d steps (dataset-resident scan) in "
+                    "%.1fs", n_epochs, n_steps, time.time() - t0)
+        return [{k: float(v[e * n_steps:(e + 1) * n_steps].mean())
+                 for k, v in host.items()} for e in range(n_epochs)]
 
     def validate(self, loader: Iterable[dict]) -> dict[str, float]:
         sums: dict[str, float] = {}

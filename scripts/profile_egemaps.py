@@ -16,13 +16,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
-from koemorph_tpu.utils.compile_cache import enable_persistent_cache
+import jax                                              # noqa: E402
+import jax.numpy as jnp                                 # noqa: E402
+import numpy as np                                      # noqa: E402
+
+from koemorph_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 

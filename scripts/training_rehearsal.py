@@ -113,18 +113,29 @@ def main() -> int:
     trainer = SequentialTrainer(model, tcfg, work_dir=work,
                                 steps_per_epoch=steps, span_frames=span)
 
-    def train_loader(epoch: int):
-        dataset.set_epoch(epoch)
-        return loader_fn()
-
     t0 = time.time()
-    # device-resident epochs: the per-step host loop costs ~1.2 s/step
-    # through the TPU tunnel vs ~1 ms of device compute; scan makes a
-    # realistic-length rehearsal (thousands of steps) take minutes
-    history = trainer.fit(train_loader, None, max_epochs=args.epochs,
-                          use_scan=True)
+    # dataset-resident training: the window set is epoch-invariant (fixed
+    # stride), so epochs run inside jitted multi-epoch programs with
+    # on-device step-order shuffles (the per-epoch host path cost
+    # ~8 s/epoch in tunnel round trips; the per-step loop ~1.2 s/step vs
+    # ~1 ms of device compute). Chunking re-forms BATCH MEMBERSHIP from
+    # the host loader every chunk — on-device shuffling permutes step
+    # order only, and fixed membership measurably caps convergence
+    # (60 fps correlation 0.63 fixed vs 0.82 reshuffled).
+    n_chunks = min(10, args.epochs)
+    per_chunk = args.epochs // n_chunks
+    epochs = []
+    for c in range(n_chunks):
+        dataset.set_epoch(c)
+        n_ep = per_chunk if c < n_chunks - 1 else (
+            args.epochs - per_chunk * (n_chunks - 1))
+        epochs += trainer.train_epochs_scan(loader_fn(), n_epochs=n_ep,
+                                            shuffle_seed=100 + c)
+    trainer.checkpoints.save(
+        trainer.state.params, epoch=args.epochs - 1,
+        global_step=trainer.global_step,
+        val_loss=None, opt_state=trainer.state.opt_state)
     train_s = time.time() - t0
-    epochs = history["train"]
 
     # ---- curves ----
     ASSETS.mkdir(parents=True, exist_ok=True)
@@ -253,7 +264,16 @@ def main() -> int:
         report.append(f"- `{name}`: {status}")
     report.append("")
     if args.fps == 30:
-        REPORT.write_text("\n".join(report))
+        # preserve any 60 fps appendix a previous run appended
+        tail = ""
+        if REPORT.exists():
+            existing = REPORT.read_text()
+            for line in existing.splitlines():
+                if line.startswith("## ") and "fps variant" in line:
+                    tail = "\n\n" + existing[existing.index(line):]
+                    break
+        REPORT.write_text("\n".join(report).rstrip() + tail + "\n"
+                          if tail else "\n".join(report))
     else:
         existing = REPORT.read_text() if REPORT.exists() else ""
         marker = f"## {args.fps} fps variant"

@@ -161,6 +161,40 @@ class TestKoeMorphTrainer:
                                        rtol=1e-6, atol=1e-7, err_msg=k)
         assert m_scan["loss"] == pytest.approx(m_loop["loss"], rel=1e-5)
 
+    def test_epochs_scan_matches_per_epoch_scan(self, tmp_path):
+        """train_epochs_scan (dataset-resident, N epochs in one program,
+        on-device shuffle) must equal running train_epoch_scan per epoch
+        with the same permutations applied host-side."""
+        import jax
+
+        def make():
+            model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
+                                            decoder_hidden=16)
+            return KoeMorphTrainer(model, {"training": TRAIN_CFG},
+                                   audio_samples=1600,
+                                   work_dir=tmp_path, steps_per_epoch=3)
+
+        batches = _synthetic_batches(3, 8, 1600)
+        multi = make()
+        hist = multi.train_epochs_scan(iter(batches), n_epochs=2,
+                                       shuffle_seed=5)
+        assert len(hist) == 2 and np.isfinite(hist[-1]["loss"])
+        assert multi.global_step == 6 and multi.epoch == 2
+
+        ref = make()
+        for key in jax.random.split(jax.random.PRNGKey(5), 2):
+            perm = np.asarray(jax.random.permutation(key, 3))
+            ref.train_epoch_scan(iter([batches[i] for i in perm]))
+
+        la = {jax.tree_util.keystr(p): leaf for p, leaf in
+              jax.tree_util.tree_leaves_with_path(multi.state.params)}
+        lb = {jax.tree_util.keystr(p): leaf for p, leaf in
+              jax.tree_util.tree_leaves_with_path(ref.state.params)}
+        for k in la:
+            np.testing.assert_allclose(np.asarray(la[k]),
+                                       np.asarray(lb[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+
     def test_fit_checkpoints(self, tmp_path):
         model = SimplifiedKoeMorphModel(d_model=32, num_heads=2,
                                         decoder_hidden=16)
