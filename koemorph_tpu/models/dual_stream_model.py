@@ -254,6 +254,7 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
         return_attention: bool = False,
         deterministic: bool = True,
         window_starts: Optional[jnp.ndarray] = None,
+        return_raw: bool = False,
     ) -> dict[str, jnp.ndarray]:
         """``window_starts`` ((n,) or per-utterance (B, n) int frame
         indices, each <= L//hop - window_frames) overrides the fixed
@@ -262,7 +263,14 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
         :class:`~koemorph_tpu.data.sequential.StrideSchedule`). Rows
         must be temporally ordered (EMA smoothing runs across the window
         sequence). Requires the global-STFT path
-        (``exact_window_stft=False``)."""
+        (``exact_window_stft=False``).
+
+        ``return_raw=True`` adds the pre-smoothing per-window outputs as
+        ``raw_blendshapes`` — the sequence-parallel decoder
+        (:meth:`parallel.batched_decode.BatchedSequentialDecoder.
+        decode_sequence_parallel`) decodes window shards on separate
+        devices and replays the EMA recurrence over the stitched raw
+        sequence, which chunk-local smoothing cannot produce."""
         b, audio_len = audio.shape
         hop = self.hop_length
         num_frames = audio_len // hop
@@ -422,6 +430,8 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
             "num_frames": n_out,
             "fps": self.target_fps,
         }
+        if return_raw:
+            results["raw_blendshapes"] = jnp.swapaxes(raw_seq, 0, 1)
         if return_attention:
             results.update(extras)
         return results

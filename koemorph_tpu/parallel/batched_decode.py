@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from koemorph_tpu.parallel.mesh import (
@@ -63,6 +64,30 @@ class BatchedSequentialDecoder:
             return out["blendshapes"]
 
         self._decode_at = decode_at
+
+        @jax.jit
+        def decode_raw_at(params, audio, starts):
+            out = model.apply({"params": params}, audio,
+                              deterministic=True, window_starts=starts,
+                              return_raw=True)
+            return out["raw_blendshapes"]
+
+        self._decode_raw_at = decode_raw_at
+
+        @jax.jit
+        def ema_replay(params, raw_seq):
+            # exact arithmetic of SequentialDualStreamModel.__call__'s
+            # smoothing tail: s from the associative scan, final values
+            # recomputed in one-step form (bit-identical outputs)
+            from koemorph_tpu.models.dual_stream_model import (
+                _ema_associative)
+            alpha = jax.nn.sigmoid(params["smoothing_alpha"])
+            s = _ema_associative(raw_seq, alpha)
+            s_prev = jnp.concatenate([raw_seq[:1], s[:-1]], axis=0)
+            smoothed = alpha * raw_seq + (1 - alpha) * s_prev
+            return smoothed.at[0].set(raw_seq[0])
+
+        self._ema_replay = ema_replay
 
     @property
     def num_devices(self) -> int:
@@ -121,6 +146,57 @@ class BatchedSequentialDecoder:
         sharded = jax.device_put(audio, self._sharding)
         starts_sh = jax.device_put(starts, self._sharding)
         return self._decode_at(self.params, sharded, starts_sh), mask
+
+    def decode_sequence_parallel(self, audio) -> jax.Array:
+        """Sequence-parallel decode: ONE utterance, windows sharded over
+        the mesh.
+
+        Data parallelism cannot help the latency of a single long
+        utterance (B=1 occupies one chip). Here the utterance's window
+        sequence is split into ``num_devices`` contiguous chunks and
+        decoded as a sharded pseudo-batch — each chip runs the
+        STFT + window attention for its chunk only, so the dominant cost
+        (the per-window attention batch) divides by the mesh size, with
+        zero collectives in the decode itself. The eGeMAPS/emotion pass
+        over the full utterance is replicated per chip (it is one
+        sequence-level vector; sharding it would need halo exchanges
+        worth more than its ~25% cost share).
+
+        The EMA smoothing recurrence crosses chunk boundaries, so chips
+        return PRE-smoothing windows (``return_raw``) and the recurrence
+        is replayed over the stitched (T_out, 52) sequence in one tiny
+        associative scan — bit-identical to single-device decode
+        (pinned by tests/parallel/test_production_sharding.py).
+
+        Accepts (L,) float audio; returns (T_out, 52). One executable
+        per distinct (L, T_out) pair — bucket lengths upstream.
+        """
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 2 and audio.shape[0] == 1:
+            audio = audio[0]
+        if audio.ndim != 1:
+            raise ValueError(
+                "decode_sequence_parallel takes ONE utterance (L,); use "
+                "__call__ for multi-utterance batches")
+        n_dev = self.num_devices
+        hop = int(self.model.sample_rate / self.model.target_fps)
+        span = audio.shape[0] // hop - self.model.window_frames
+        if span < 0:
+            raise ValueError(
+                f"audio shorter than one {self.model.window_frames}-frame "
+                "window")
+        stride = int(self.model.stride_frames)
+        n_out = span // stride + 1
+        per = -(-n_out // n_dev)                 # windows per chip, padded
+        grid = np.arange(n_dev * per) * stride   # global window order
+        starts = np.minimum(grid, span).astype(np.int32).reshape(n_dev, per)
+        tiled = np.broadcast_to(audio, (n_dev, audio.shape[0]))
+        raw = self._decode_raw_at(
+            self.params,
+            jax.device_put(np.ascontiguousarray(tiled), self._sharding),
+            jax.device_put(starts, self._sharding))      # (n_dev, per, 52)
+        raw_flat = jnp.reshape(raw, (n_dev * per, -1))[:n_out]
+        return self._ema_replay(self.params, raw_flat)
 
     def throughput_stats(self, audio_batch, iters: int = 10) -> dict:
         """Frames/sec/chip measurement over the mesh."""

@@ -4,9 +4,13 @@ The reference is single-process single-device (SURVEY.md section 2.5: no
 DDP/TP/PP/collectives anywhere — src/train.py:75 picks one device). Here
 scale-out is first-class: a 1-D data mesh over the local chips, params
 replicated, batches sharded on the leading axis, gradients reduced by XLA
-collectives over ICI. The model is ~8 MB so data parallelism is the whole
-story; the helpers still accept arbitrary mesh shapes so a model axis can
-be added later without touching call sites.
+collectives over ICI. The model is ~8 MB so data parallelism is the
+production TRAINING strategy; tensor-parallel (2-D data x model mesh,
+Megatron-style param shardings) and sequence-parallel (windows of one
+utterance sharded) live in :mod:`koemorph_tpu.parallel.tp` and
+:meth:`~koemorph_tpu.parallel.batched_decode.BatchedSequentialDecoder.
+decode_sequence_parallel` for latency-bound serving. All helpers here
+accept arbitrary mesh shapes (batch shards ride the ``data`` axis name).
 """
 
 from __future__ import annotations

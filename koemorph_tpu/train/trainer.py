@@ -113,6 +113,7 @@ class Trainer:
         mesh=None,
         steps_per_epoch: int = 100,
         seed: int = 42,
+        tensor_parallel: bool = False,
     ):
         self.model = model
         self.config = config or {}
@@ -128,9 +129,24 @@ class Trainer:
                               schedule=schedule)
         rng = jax.random.PRNGKey(int(self.train_cfg.get("seed", seed)))
         self.state = create_train_state(model, rng, self.init_inputs(), tx)
-        self.state = self.state.replace(
-            params=replicate(self.state.params, self.mesh),
-            opt_state=replicate(self.state.opt_state, self.mesh))
+        if tensor_parallel:
+            # 2-D (data, model) mesh: params/opt-moments sharded per the
+            # Megatron-style rule table (parallel/tp.py), batch still on
+            # the data axis; XLA inserts the head/feature all-reduces.
+            from koemorph_tpu.parallel.tp import (
+                MODEL_AXIS, tree_shardings)
+            if MODEL_AXIS not in self.mesh.shape:
+                raise ValueError(
+                    "tensor_parallel=True needs a mesh with a "
+                    f"'{MODEL_AXIS}' axis (parallel.tp.make_mesh_2d)")
+            self._state_shardings = tree_shardings(self.state, self.mesh)
+            self.state = jax.tree_util.tree_map(
+                jax.device_put, self.state, self._state_shardings)
+        else:
+            self.state = self.state.replace(
+                params=replicate(self.state.params, self.mesh),
+                opt_state=replicate(self.state.opt_state, self.mesh))
+            self._state_shardings = None
 
         self.checkpoints = CheckpointManager(
             self.work_dir / "checkpoints",
@@ -144,13 +160,16 @@ class Trainer:
         self._attn_image_fn = None
         self.epoch = 0
         self.global_step = 0
-        # pin the output state to the replicated sharding: otherwise step 1's
-        # output (default sharding) differs from the init state's
-        # NamedSharding and step 2 triggers a full recompile
+        # pin the output state to the input state's sharding (replicated in
+        # DP, the TP rule tree otherwise): otherwise step 1's output
+        # (default sharding) differs from the init state's NamedSharding
+        # and step 2 triggers a full recompile
         from koemorph_tpu.parallel.mesh import replicated_sharding
+        self._state_out = (self._state_shardings if tensor_parallel
+                           else replicated_sharding(self.mesh))
         self._train_step = jax.jit(
             self._train_step_impl, donate_argnums=0,
-            out_shardings=(replicated_sharding(self.mesh), None))
+            out_shardings=(self._state_out, None))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._epoch_scan = None     # lazily-jitted lax.scan epoch runner
         self._epochs_scan_runners: dict = {}   # n_steps -> jitted runner
@@ -300,7 +319,7 @@ class Trainer:
 
             self._epoch_scan = jax.jit(
                 epoch_impl, donate_argnums=0,
-                out_shardings=(replicated_sharding(self.mesh), None))
+                out_shardings=(self._state_out, None))
 
         t0 = time.time()
         self.state, metrics = self._epoch_scan(self.state, stacked)
@@ -366,7 +385,7 @@ class Trainer:
 
             runner = jax.jit(
                 run, donate_argnums=0,
-                out_shardings=(replicated_sharding(self.mesh), None))
+                out_shardings=(self._state_out, None))
             self._epochs_scan_runners[n_steps] = runner
         keys = jax.random.split(
             jax.random.PRNGKey(shuffle_seed), n_epochs)

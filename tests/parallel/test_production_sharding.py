@@ -66,6 +66,19 @@ class TestProductionShardedDecode:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-7, rtol=0)
 
+    def test_sequence_parallel_decode_production(self, prod, cpu_devices):
+        """SP decode (ONE flagship utterance, 9 windows sharded over 8
+        devices + EMA replay) must match the single-call decode."""
+        model, params, audio = prod
+        ref = jax.jit(lambda p, a: model.apply(
+            {"params": p}, a, deterministic=True)["blendshapes"])(
+                params, audio[:1])[0]                  # (9, 52)
+        decoder = BatchedSequentialDecoder(model, params)
+        out = decoder.decode_sequence_parallel(np.asarray(audio[0]))
+        assert out.shape == ref.shape == (9, 52)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=0)
+
 
 class TestProductionShardedTrainStep:
     def test_sharded_step_matches_single_device(self, prod, cpu_devices):
@@ -104,3 +117,27 @@ class TestProductionShardedTrainStep:
                         jax.tree_util.tree_leaves(p8)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=2e-4, atol=2e-6)
+
+        # 2-D (data=4, model=2) mesh: flagship params tensor-parallel per
+        # the rule table, batch on the data axis. Pin LOSS and GRADIENTS
+        # (the sharding-correctness signal) rather than the post-Adam
+        # params: a fresh Adam state updates by ~lr*g/(|g|+eps), so for
+        # near-zero gradient entries reduction-order epsilon flips the
+        # update magnitude by O(10%) — measured 2/256 elements of one
+        # bias — without any sharding bug. The full Adam-update
+        # equivalence is pinned at tiny scale in
+        # tests/parallel/test_tp_sp.py::test_trainer_tensor_parallel.
+        from koemorph_tpu.parallel.tp import make_mesh_2d, shard_tree
+        mesh2 = make_mesh_2d(data=4, model=2)
+        sh2 = batch_sharding(mesh2)
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        loss_1, g_1 = grad_fn(params, audio, targets)
+        loss_tp, g_tp = grad_fn(shard_tree(params, mesh2),
+                                jax.device_put(audio, sh2),
+                                jax.device_put(targets, sh2))
+        np.testing.assert_allclose(float(loss_1), float(loss_tp),
+                                   rtol=1e-5)
+        for x, y in zip(jax.tree_util.tree_leaves(g_1),
+                        jax.tree_util.tree_leaves(g_tp)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-3, atol=1e-6)

@@ -1,0 +1,229 @@
+"""Tensor-parallel + sequence-parallel pins (virtual 8-device mesh).
+
+Sharding must be a LAYOUT decision, not a numerics decision: every test
+here pins a TP- or SP-sharded computation against its single-device
+counterpart. Tolerances cover reduction-order epsilon only (XLA tiles
+GEMMs differently per shard count).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from koemorph_tpu.models.dual_stream_model import SequentialDualStreamModel
+from koemorph_tpu.parallel import BatchedSequentialDecoder
+from koemorph_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+from koemorph_tpu.parallel.tp import (
+    MODEL_AXIS,
+    TP_RULES,
+    make_mesh_2d,
+    partition_spec_for,
+    make_mesh_2d as _mesh2d,
+    shard_tree,
+    tree_partition_specs,
+)
+
+HOP = 533
+
+
+def tiny_model(**kw) -> SequentialDualStreamModel:
+    return SequentialDualStreamModel(
+        d_model=32, num_heads=2, mel_sequence_length=16,
+        emotion_backend="basic", use_concatenation=False,
+        stride_frames=4, target_fps=30, dropout=0.0, **kw)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    span = 16 + 32                                   # window + 32 frames
+    audio = jnp.asarray(rng.standard_normal(
+        (8, span * HOP)).astype(np.float32) * 0.1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 audio[:1])["params"]
+    return model, params, audio
+
+
+class TestPartitionRules:
+    def test_spec_table(self, cpu_devices):
+        mesh = make_mesh_2d(data=4, model=2)
+        assert dict(mesh.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2}
+        cases = {
+            ".params['attention']['mel_attention']['in_proj_weight']":
+                ((96, 32), P(MODEL_AXIS, None)),
+            ".params['attention']['mel_attention']['out_proj']['kernel']":
+                ((32, 32), P(MODEL_AXIS, None)),
+            ".params['attention']['mel_channel_encoder']['kernel']":
+                ((19, 32), P(None, MODEL_AXIS)),
+            ".params['attention']['decoder_hidden']['kernel']":
+                ((32, 16), P(None, MODEL_AXIS)),
+            ".params['attention']['decoder_out']['kernel']":
+                ((16, 1), P(MODEL_AXIS, None)),
+            ".params['attention']['mel_norm']['scale']": ((32,), P()),
+            ".params['smoothing_alpha']": ((), P()),
+        }
+        for path, (shape, want) in cases.items():
+            assert partition_spec_for(path, shape, mesh) == want, path
+
+    def test_indivisible_falls_back_to_replicated(self, cpu_devices):
+        mesh = make_mesh_2d(data=1, model=8)
+        # 96 rows split 8 ways is fine; 17 rows is not -> replicated
+        assert partition_spec_for("x/in_proj_weight", (96, 32),
+                                  mesh) == P(MODEL_AXIS, None)
+        assert partition_spec_for("x/in_proj_weight", (17, 32),
+                                  mesh) == P()
+
+    def test_optimizer_moments_inherit_param_specs(self, tiny, cpu_devices):
+        import optax
+
+        _, params, _ = tiny
+        mesh = make_mesh_2d(data=4, model=2)
+        opt_state = optax.adam(1e-3).init(params)
+        specs = tree_partition_specs(opt_state, mesh)
+        flat = {jax.tree_util.keystr(p): s for p, s in
+                jax.tree_util.tree_leaves_with_path(
+                    specs, is_leaf=lambda x: isinstance(x, P))}
+        mu_keys = [k for k in flat if "mu" in k and "in_proj_weight" in k]
+        assert mu_keys and all(
+            flat[k] == P(MODEL_AXIS, None) for k in mu_keys)
+
+    def test_data_mesh_degenerates_to_replicated(self, tiny, cpu_devices):
+        _, params, _ = tiny
+        mesh = make_mesh_2d(model=1)      # pure data mesh, model axis = 1
+        specs = tree_partition_specs(params, mesh)
+        assert all(s == P() for s in jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: isinstance(x, P)))
+
+
+class TestTensorParallelForwardBackward:
+    def test_tp_step_matches_single_device(self, tiny, cpu_devices):
+        import optax
+
+        model, params, audio = tiny
+        rng = np.random.default_rng(1)
+        n_out = 1 + 32 // 4
+        targets = jnp.asarray(rng.uniform(
+            0, 0.05, (8, n_out, 52)).astype(np.float32))
+
+        tx = optax.adam(1e-3)
+        opt0 = tx.init(params)
+
+        def loss_fn(p, a, t):
+            out = model.apply({"params": p}, a, deterministic=True)
+            return jnp.mean((out["blendshapes"] - t) ** 2)
+
+        @jax.jit
+        def step(p, opt, a, t):
+            loss, g = jax.value_and_grad(loss_fn)(p, a, t)
+            updates, opt = tx.update(g, opt)
+            return optax.apply_updates(p, updates), loss
+
+        p1, loss1 = step(params, opt0, audio, targets)
+
+        mesh = make_mesh_2d(data=4, model=2)
+        p_tp = shard_tree(params, mesh)
+        opt_tp = shard_tree(opt0, mesh)
+        # the head axis really is distributed: the packed QKV weight must
+        # live on >1 device along the model axis
+        flat = {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_leaves_with_path(p_tp)}
+        qkv = next(v for k, v in flat.items() if "in_proj_weight" in k)
+        assert qkv.sharding.spec == P(MODEL_AXIS, None)
+        assert len(qkv.sharding.device_set) == 8
+
+        sh = batch_sharding(mesh)
+        p2, loss2 = step(p_tp, opt_tp, jax.device_put(audio, sh),
+                         jax.device_put(targets, sh))
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        for x, y in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_trainer_tensor_parallel_matches_dp(self, tmp_path, cpu_devices):
+        from koemorph_tpu.train.trainer import SequentialTrainer
+
+        cfg = {"training": {
+            "learning_rate": 1e-3, "weight_decay": 0.0, "max_epochs": 1,
+            "warmup_steps": 0, "gradient_clip": 1.0,
+            "checkpoint": {"every_n_epochs": 100},
+            "logging": {"log_every_n_steps": 1000},
+        }}
+        span = 16 + 32
+        rng = np.random.default_rng(2)
+        batches = [{
+            "audio": rng.standard_normal((8, span * HOP)).astype(
+                np.float32) * 0.1,
+            "blendshapes": rng.uniform(0, 0.05, (8, span, 52)).astype(
+                np.float32),
+        } for _ in range(2)]
+
+        def make(mesh=None, tp=False, d="dp"):
+            return SequentialTrainer(
+                tiny_model(), cfg, work_dir=tmp_path / d, mesh=mesh,
+                steps_per_epoch=2, span_frames=span, tensor_parallel=tp)
+
+        dp = make(d="dp")
+        m_dp = dp.train_epoch(iter(batches))
+
+        tp = make(mesh=make_mesh_2d(data=2, model=4), tp=True, d="tp")
+        m_tp = tp.train_epoch(iter(batches))
+
+        assert m_tp["loss"] == pytest.approx(m_dp["loss"], rel=1e-4)
+        la = jax.tree_util.tree_leaves(dp.state.params)
+        lb = jax.tree_util.tree_leaves(tp.state.params)
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_trainer_requires_model_axis(self, tmp_path, cpu_devices):
+        from koemorph_tpu.train.trainer import SequentialTrainer
+
+        with pytest.raises(ValueError, match="model"):
+            SequentialTrainer(
+                tiny_model(), {"training": {"max_epochs": 1}},
+                work_dir=tmp_path, span_frames=48, tensor_parallel=True)
+
+
+class TestSequenceParallelDecode:
+    def test_sp_decode_matches_single_device(self, tiny, cpu_devices):
+        model, params, audio = tiny
+        one = audio[0]
+
+        ref = jax.jit(lambda p, a: model.apply(
+            {"params": p}, a, deterministic=True)["blendshapes"])(
+                params, one[None])[0]                   # (n_out, 52)
+
+        decoder = BatchedSequentialDecoder(model, params)
+        out = decoder.decode_sequence_parallel(np.asarray(one))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=0)
+
+    def test_sp_decode_window_count_not_divisible(self, cpu_devices):
+        # n_out = 1 + 37//4 = 10 windows over 8 devices -> per=2, 6 padded
+        model = tiny_model()
+        rng = np.random.default_rng(3)
+        span = 16 + 37
+        one = rng.standard_normal(span * HOP).astype(np.float32) * 0.1
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.asarray(one)[None])["params"]
+        ref = jax.jit(lambda p, a: model.apply(
+            {"params": p}, a, deterministic=True)["blendshapes"])(
+                params, jnp.asarray(one)[None])[0]
+        decoder = BatchedSequentialDecoder(model, params)
+        out = decoder.decode_sequence_parallel(one)
+        assert out.shape == ref.shape == (10, 52)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=0)
+
+    def test_sp_rejects_batches(self, tiny, cpu_devices):
+        model, params, audio = tiny
+        decoder = BatchedSequentialDecoder(model, params)
+        with pytest.raises(ValueError, match="ONE utterance"):
+            decoder.decode_sequence_parallel(np.asarray(audio))
