@@ -16,9 +16,11 @@ from koemorph_tpu.runtime.audio import (
     list_audio_devices,
 )
 from koemorph_tpu.runtime.engine import run_realtime_loop
+from koemorph_tpu.runtime.multistream import MultiStreamInference
 
 __all__ = [
     "StreamingConfig", "StreamState", "StreamingInference",
+    "MultiStreamInference",
     "init_stream_state", "stream_frame",
     "BlendshapeStreamer", "encode_osc_message",
     "AudioFileReader", "MicCapture", "HAS_PYAUDIO", "list_audio_devices",

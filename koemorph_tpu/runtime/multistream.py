@@ -1,0 +1,228 @@
+"""Multi-session streaming: N concurrent 30 fps avatars on one chip.
+
+The reference serves ONE session per process (scripts/rt.py main loop,
+rt_simplified.py:315 — a single AudioBuffer + model instance per run).
+On TPU the per-frame compute is ~0.1 ms of mostly small GEMMs at B=1;
+batching S sessions into one jitted step turns those into (S, ...) GEMMs
+on the MXU at nearly the same step latency, so one chip serves hundreds
+of concurrent real-time streams — a serving capability with no reference
+counterpart.
+
+Design: :func:`~koemorph_tpu.runtime.streaming.stream_frame` is a pure
+function of a :class:`StreamState` carry, so the server is ``jax.vmap``
+over a session axis — with ONE deliberate exception: ``frame_count`` (the
+emotion-refresh clock) stays UNBATCHED, shared by every session. The
+refresh ``lax.cond`` predicate then stays scalar, so vmap keeps it a true
+branch (a per-session predicate would lower to ``select`` and run the
+heavy eGeMAPS refresh every frame for every session), and all sessions
+refresh in the same step — one batched (S, ...) eGeMAPS pass every K
+frames instead of S staggered scalar ones.
+
+Cost of the shared clock: a session admitted mid-phase starts from
+silence rings (exactly like a fresh single-session engine) and waits up
+to one refresh interval (<=300 ms at the production cadence) for its
+first non-silence emotion vector. Lane outputs are otherwise identical
+to a dedicated :class:`StreamingInference` fed the same audio (pinned by
+tests/runtime/test_multistream.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koemorph_tpu.runtime.streaming import (
+    StreamingConfig,
+    init_stream_state,
+    stream_frame,
+)
+
+__all__ = ["MultiStreamInference"]
+
+
+class MultiStreamInference:
+    """Serve ``n_sessions`` independent streaming sessions in one step.
+
+    Typical use::
+
+        server = MultiStreamInference(params, cfg, n_sessions=64)
+        server.warmup()
+        frames = server.step(hops)     # (64, hop) audio -> (64, 52)
+
+    ``params`` is the same dict :class:`StreamingInference` takes (the
+    trained SimplifiedDualStreamModel params); every session shares it.
+    """
+
+    def __init__(self, params: dict, cfg: StreamingConfig,
+                 n_sessions: int, device: Optional[jax.Device] = None):
+        if n_sessions < 1:
+            raise ValueError("n_sessions must be >= 1")
+        self.cfg = cfg
+        self.n_sessions = n_sessions
+        self.device = device or jax.devices()[0]
+        self.params = jax.device_put(params, self.device)
+
+        single = init_stream_state(cfg)
+        # session axis everywhere EXCEPT the shared refresh clock
+        axes = jax.tree_util.tree_map(lambda _: 0, single)
+        axes = axes.replace(frame_count=None)
+        self._state_axes = axes
+        self.states = jax.device_put(self._fresh_states(single), self.device)
+
+        step = jax.vmap(
+            lambda p, s, a: stream_frame(p, s, a, cfg),
+            in_axes=(None, axes, 0),
+            out_axes=({"blendshapes": 0}, axes))
+        self._step = jax.jit(step, donate_argnums=1)
+        self._reset_fns: dict = {}
+        self.frames_emitted = 0
+        self.step_times: list[float] = []
+
+    def _fresh_states(self, single=None):
+        single = single if single is not None else init_stream_state(self.cfg)
+        n = self.n_sessions
+        batched = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), single)
+        return batched.replace(frame_count=single.frame_count)
+
+    # -- serving -----------------------------------------------------------
+
+    def warmup(self) -> None:
+        """Compile the batched step ahead of the real-time loop."""
+        hop = self.cfg.hop_length
+        out, _ = self._step(
+            self.params,
+            jax.tree_util.tree_map(jnp.copy, self.states),
+            jnp.zeros((self.n_sessions, hop), jnp.float32))
+        jax.block_until_ready(out["blendshapes"])
+
+    def step(self, hops: np.ndarray) -> jax.Array:
+        """One frame for every session: (S, hop) audio -> (S, 52)."""
+        hops = jnp.asarray(hops, jnp.float32)
+        if hops.shape != (self.n_sessions, self.cfg.hop_length):
+            raise ValueError(
+                f"expected ({self.n_sessions}, {self.cfg.hop_length}) "
+                f"audio, got {hops.shape}")
+        t0 = time.perf_counter()
+        out, self.states = self._step(self.params, self.states, hops)
+        self.step_times.append(time.perf_counter() - t0)
+        self.frames_emitted += self.n_sessions
+        return out["blendshapes"]
+
+    def reset_sessions(self, indices: Sequence[int]) -> None:
+        """Re-admit the given lanes as fresh sessions (silence rings,
+        unsmoothed first frame). The shared refresh clock keeps running:
+        the new session's first emotion refresh lands on the next global
+        phase boundary."""
+        idx = np.asarray(sorted(set(int(i) for i in indices)), np.int32)
+        if idx.size == 0:
+            return
+        if idx.min() < 0 or idx.max() >= self.n_sessions:
+            raise ValueError(f"session index out of range: {idx}")
+        fn = self._reset_fns.get(idx.size)
+        if fn is None:
+            def reset(states, lanes):
+                fresh = init_stream_state(self.cfg)
+
+                def set_lanes(batched, leaf):
+                    rows = jnp.broadcast_to(
+                        leaf, (lanes.shape[0],) + leaf.shape)
+                    return batched.at[lanes].set(rows)
+
+                # the shared clock is not per-lane: swap in a dummy lane
+                # column for the tree_map, then restore it
+                clock = states.frame_count
+                states = jax.tree_util.tree_map(
+                    set_lanes,
+                    states.replace(frame_count=jnp.zeros(
+                        (self.n_sessions,), jnp.int32)),
+                    fresh.replace(frame_count=jnp.zeros((), jnp.int32)))
+                return states.replace(frame_count=clock)
+
+            fn = jax.jit(reset, donate_argnums=0)
+            self._reset_fns[idx.size] = fn
+        self.states = fn(self.states, jnp.asarray(idx))
+
+    # -- measurement ---------------------------------------------------------
+
+    def run_scan(self, audio: np.ndarray) -> jax.Array:
+        """Decode (S, T*hop) audio as T batched frames inside ONE jitted
+        ``lax.scan`` — the honest way to measure sustained per-frame cost
+        through the tunneled chip (amortizes dispatch; same methodology
+        as bench.py). Returns (T, S, 52); updates ``self.states``."""
+        audio = np.asarray(audio, np.float32)
+        hop = self.cfg.hop_length
+        s, total = audio.shape
+        if s != self.n_sessions or total % hop:
+            raise ValueError(
+                f"audio must be ({self.n_sessions}, k*{hop}), got "
+                f"{audio.shape}")
+        t = total // hop
+        hops = np.swapaxes(audio.reshape(s, t, hop), 0, 1)   # (T, S, hop)
+
+        scan = getattr(self, "_scan_fn", None)
+        if scan is None:
+            def scan_impl(params, states, hops):
+                def body(st, a):
+                    out, st2 = jax.vmap(
+                        lambda p, s_, a_: stream_frame(p, s_, a_, self.cfg),
+                        in_axes=(None, self._state_axes, 0),
+                        out_axes=({"blendshapes": 0}, self._state_axes),
+                    )(params, st, a)
+                    return st2, out["blendshapes"]
+
+                return jax.lax.scan(body, states, hops)
+
+            scan = self._scan_fn = jax.jit(scan_impl)
+
+        self.states, frames = scan(self.params, self.states,
+                                   jnp.asarray(hops))
+        self.frames_emitted += t * s
+        return frames
+
+    def sustained_stats(self, n_frames: int = 300,
+                        warmup_frames: Optional[int] = None) -> dict:
+        """Sustained batched throughput: silence-fed scan, value-fetch
+        synchronized. Reports per-frame step latency across all sessions
+        and the 30 fps realtime headroom.
+
+        The warmup scan runs the SAME frame count as the timed scan so
+        both hit one executable (``warmup_frames`` is accepted for API
+        compatibility but clamped up to ``n_frames``)."""
+        hop = self.cfg.hop_length
+        silence = np.zeros((self.n_sessions, n_frames * hop), np.float32)
+        f = self.run_scan(silence)                       # compile + warm
+        float(np.asarray(f[-1, 0, 0]))
+        t0 = time.perf_counter()
+        f = self.run_scan(silence)
+        float(np.asarray(f[-1, 0, 0]))                   # device sync
+        dt = time.perf_counter() - t0
+        per_frame = dt / n_frames
+        budget = 1.0 / self.cfg.target_fps
+        return {
+            "sessions": self.n_sessions,
+            "frames": n_frames,
+            "step_ms": per_frame * 1e3,
+            "per_session_us": per_frame / self.n_sessions * 1e6,
+            "rtf": per_frame / budget,
+            "realtime": bool(per_frame < budget),
+            "frames_per_s": self.n_sessions / per_frame,
+        }
+
+    def performance_stats(self) -> dict:
+        """Dispatch-path stats for the per-step serving loop."""
+        if not self.step_times:
+            return {"frames": 0}
+        times = np.asarray(self.step_times)
+        budget = 1.0 / self.cfg.target_fps
+        return {
+            "sessions": self.n_sessions,
+            "frames": self.frames_emitted,
+            "avg_step_ms": float(times.mean() * 1e3),
+            "max_step_ms": float(times.max() * 1e3),
+            "rtf": float(times.mean() / budget),
+        }

@@ -1,0 +1,150 @@
+"""Multi-session streaming server pins.
+
+The load-bearing property: a lane of :class:`MultiStreamInference` must
+produce the same frames as a dedicated :class:`StreamingInference` fed
+the same audio — batching sessions is a layout change, not a behavior
+change. Also pinned: the shared refresh clock keeps the emotion-refresh
+``lax.cond`` a true branch under vmap (cost property, asserted
+structurally via the unbatched frame_count), and lane resets re-admit
+fresh sessions without disturbing neighbours.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from koemorph_tpu.runtime import (
+    MultiStreamInference,
+    StreamingConfig,
+    StreamingInference,
+)
+from tests.runtime.test_streaming import TINY, tiny_params
+
+
+def _speech_like(n_samples: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples) / TINY.sample_rate
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.7 * t + seed)
+    sig = 0.3 * np.sin(2 * np.pi * np.cumsum(f0) / TINY.sample_rate)
+    return (sig + 0.02 * rng.standard_normal(n_samples)).astype(np.float32)
+
+
+class TestMultiStreamEquivalence:
+    def test_lanes_match_dedicated_engines(self):
+        params = tiny_params()
+        hop = TINY.hop_length
+        n_frames, n_sessions = 8, 3
+        audio = np.stack([_speech_like(n_frames * hop, seed=s)
+                          for s in range(n_sessions)])
+
+        server = MultiStreamInference(params, TINY, n_sessions)
+        batched = []
+        for i in range(n_frames):
+            batched.append(np.asarray(
+                server.step(audio[:, i * hop:(i + 1) * hop])))
+        batched = np.stack(batched)                      # (T, S, 52)
+
+        for s in range(n_sessions):
+            single = StreamingInference(params, TINY)
+            frames = np.stack(single.process_audio(audio[s]))
+            np.testing.assert_allclose(
+                batched[:, s], frames, atol=1e-5, rtol=0,
+                err_msg=f"lane {s} diverged from dedicated engine")
+
+    def test_scan_matches_step_loop(self):
+        params = tiny_params()
+        hop = TINY.hop_length
+        n_frames, n_sessions = 6, 2
+        audio = np.stack([_speech_like(n_frames * hop, seed=10 + s)
+                          for s in range(n_sessions)])
+
+        a = MultiStreamInference(params, TINY, n_sessions)
+        loop = np.stack([np.asarray(
+            a.step(audio[:, i * hop:(i + 1) * hop]))
+            for i in range(n_frames)])
+
+        b = MultiStreamInference(params, TINY, n_sessions)
+        scanned = np.asarray(b.run_scan(audio))
+        np.testing.assert_allclose(scanned, loop, atol=1e-6, rtol=0)
+
+    def test_shared_clock_is_unbatched(self):
+        params = tiny_params()
+        server = MultiStreamInference(params, TINY, 4)
+        assert server.states.frame_count.shape == ()
+        server.step(np.zeros((4, TINY.hop_length), np.float32))
+        assert server.states.frame_count.shape == ()
+        assert int(server.states.frame_count) == 1
+        # per-session state IS batched
+        assert server.states.audio_ring.shape[0] == 4
+
+
+class TestSessionReset:
+    def test_reset_lane_matches_fresh_session_at_phase_boundary(self):
+        params = tiny_params()
+        hop = TINY.hop_length
+        k = TINY.emotion_update_frames
+        n_sessions = 3
+        pre = np.stack([_speech_like(k * hop, seed=20 + s)
+                        for s in range(n_sessions)])
+        post = np.stack([_speech_like(2 * k * hop, seed=40 + s)
+                         for s in range(n_sessions)])
+
+        server = MultiStreamInference(params, TINY, n_sessions)
+        for i in range(k):
+            server.step(pre[:, i * hop:(i + 1) * hop])
+        # reset lane 1 exactly at a refresh-phase boundary: from here its
+        # refresh schedule coincides with a fresh engine's
+        server.reset_sessions([1])
+        out = np.stack([np.asarray(
+            server.step(post[:, i * hop:(i + 1) * hop]))
+            for i in range(2 * k)])
+
+        single = StreamingInference(params, TINY)
+        fresh = np.stack(single.process_audio(post[1]))
+        np.testing.assert_allclose(out[:, 1], fresh, atol=1e-5, rtol=0)
+
+    def test_reset_leaves_other_lanes_untouched(self):
+        params = tiny_params()
+        hop = TINY.hop_length
+        n_frames, n_sessions = 5, 3
+        audio = np.stack([_speech_like(n_frames * hop, seed=60 + s)
+                          for s in range(n_sessions)])
+
+        plain = MultiStreamInference(params, TINY, n_sessions)
+        expected = np.stack([np.asarray(
+            plain.step(audio[:, i * hop:(i + 1) * hop]))
+            for i in range(n_frames)])
+
+        resetting = MultiStreamInference(params, TINY, n_sessions)
+        out = []
+        for i in range(n_frames):
+            if i == 2:
+                resetting.reset_sessions([0])
+            out.append(np.asarray(
+                resetting.step(audio[:, i * hop:(i + 1) * hop])))
+        out = np.stack(out)
+        np.testing.assert_allclose(out[:, 1:], expected[:, 1:],
+                                   atol=1e-6, rtol=0)
+        # the reset lane really did change
+        assert np.abs(out[2:, 0] - expected[2:, 0]).max() > 0
+
+    def test_reset_validates_indices(self):
+        params = tiny_params()
+        server = MultiStreamInference(params, TINY, 2)
+        import pytest
+        with pytest.raises(ValueError, match="out of range"):
+            server.reset_sessions([5])
+
+
+class TestStats:
+    def test_sustained_stats_shape(self):
+        params = tiny_params()
+        server = MultiStreamInference(params, TINY, 2)
+        stats = server.sustained_stats(n_frames=12)
+        assert stats["sessions"] == 2
+        assert stats["frames"] == 12
+        assert stats["step_ms"] > 0 and np.isfinite(stats["rtf"])
+        # warmup scan + timed scan, both 12 frames, 2 sessions
+        assert server.frames_emitted == 2 * 24
