@@ -31,6 +31,7 @@ from koemorph_tpu.ops.egemaps import (
     egemaps_concat_windows,
     egemaps_functionals,
     functionals_from_llds,
+    functionals_multi_offset,
     load_calibration,
     silence_lld_carry,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "egemaps_concat_windows",
     "egemaps_functionals",
     "functionals_from_llds",
+    "functionals_multi_offset",
     "load_calibration",
     "silence_lld_carry",
     "F0Result",

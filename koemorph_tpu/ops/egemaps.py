@@ -284,7 +284,7 @@ def _levinson(r: jnp.ndarray, order: int) -> jnp.ndarray:
                      for j in range(1, order + 1)], axis=-1)
 
 
-def _poly_roots_dk(a: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
+def _poly_roots_dk(a: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
     """All ``p`` complex roots of the monic polynomial
     ``P(x) = x^p + a_1 x^{p-1} + ... + a_p`` (coefficients ``a`` of shape
     (..., p+1) with ``a[..., 0] == 1``) by Durand-Kerner (Weierstrass)
@@ -292,9 +292,13 @@ def _poly_roots_dk(a: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
     elementwise complex arithmetic, so it runs fused on the VPU with
     static shapes (vs host ``np.roots``' eigendecomposition, unavailable
     on TPU). LPC polynomials from Levinson are minimum-phase (roots
-    strictly inside the unit circle), for which the fixed 32 iterations
-    converge to well below float32 resolution; validated against
-    ``np.roots`` in tests/ops/test_egemaps.py."""
+    strictly inside the unit circle), for which 20 fixed iterations
+    converge to below float32 resolution (measured: every eGeMAPS
+    formant feature matches the 32-iteration result to <=1e-7 relative
+    on synthetic vowels and speech-like signals; 12 iterations break) —
+    and each unrolled iteration costs ~3 kernel launches, which is what
+    the B=1 streaming path actually pays (launch-bound, not FLOP-bound).
+    Validated against ``np.roots`` in tests/ops/test_egemaps.py."""
     p = a.shape[-1] - 1
     ac = a.astype(jnp.complex64)
     k = np.arange(p)
@@ -779,7 +783,18 @@ def functionals_from_llds(
     ``frame_mask`` (..., T). Computing LLDs once and reducing under several
     masks is how the 3-offset concatenated-eGeMAPS feature is produced in a
     single pass (vs the reference's three OpenSMILE invocations,
-    opensmile_extractor.py:460-502)."""
+    opensmile_extractor.py:460-502).
+
+    Internally every contour is STACKED: one ``_sma3`` over a (..., 25, T)
+    contour tensor, one masked mean/stddevNorm reduction over the
+    (..., 33, T) (contour, mask) combinations, one percentile sort over
+    the two 10-functional contours, one segment run-length scan over both
+    voicing polarities, and a static permutation into FEATURE_NAMES
+    order. At B=1 the per-frame cost is kernel-launch bound (~380
+    sequential fusions measured on-chip before this layout), so folding
+    ~90 small reductions into 4 wide ones is worth more than any
+    arithmetic micro-optimization.
+    """
     raw_voiced = lld["voiced"]
     if frame_mask is not None:
         voiced = raw_voiced & frame_mask
@@ -789,6 +804,7 @@ def functionals_from_llds(
         all_mask = jnp.ones_like(voiced)
     unvoiced = (~raw_voiced) & all_mask
     fp = cfg.hop_length / cfg.sample_rate  # frame period (s)
+    shape = voiced.shape                   # (..., T)
 
     # sma3: smooth every contour before reducing (voiced-only for the
     # *nz* contours, all-frame for loudness/spectral) — matches the
@@ -798,106 +814,174 @@ def functionals_from_llds(
     # the reference's separate truncated-audio OpenSMILE invocations
     # (opensmile_extractor.py:460-502) never see past the window end.
     nz_within = raw_voiced & all_mask
-    nz = lambda key: _sma3(lld[key], within=nz_within)  # noqa: E731
     # jitter/shimmer carry their own measurability masks (a voiced frame
     # whose period does not fit 2 cycles, or whose predecessor was
     # unvoiced, holds a 0 that is NOT a measurement) — smooth and reduce
     # strictly within the valid frames so unmeasurable frames are
     # excluded, not averaged as zeros (OpenSMILE skips them too)
-    jit_mask = lld.get("jitter_valid", raw_voiced) & all_mask
-    shim_mask = lld.get("shimmer_valid", raw_voiced) & all_mask
-    lld = dict(lld)
-    lld["jitter"] = _sma3(lld["jitter"], within=jit_mask)
-    lld["shimmer_db"] = _sma3(lld["shimmer_db"], within=shim_mask)
-    for key in ("f0_semitone", "hnr_db", "h1_h2", "h1_a3"):
-        lld[key] = nz(key)
-    for key in ("loudness", "alpha_ratio", "hammarberg", "slope_0_500",
-                "slope_500_1500", "spectral_flux"):
-        lld[key] = _sma3(lld[key], within=all_mask)
-    lld["mfcc"] = jnp.swapaxes(
-        _sma3(jnp.swapaxes(lld["mfcc"], -1, -2),
-              within=all_mask[..., None, :]), -1, -2)
-    fmt_within = nz_within[..., None, :] & jnp.swapaxes(
-        lld["formant_valid"], -1, -2)
-    for key in ("formant_freq", "formant_bw", "formant_rel"):
-        lld[key] = jnp.swapaxes(
-            _sma3(jnp.swapaxes(lld[key], -1, -2), within=fmt_within),
-            -1, -2)
+    jit_mask = jnp.broadcast_to(
+        lld.get("jitter_valid", raw_voiced) & all_mask, shape)
+    shim_mask = jnp.broadcast_to(
+        lld.get("shimmer_valid", raw_voiced) & all_mask, shape)
+    fv = jnp.swapaxes(lld["formant_valid"], -1, -2)      # (..., 3, T)
+    mfcc_t = jnp.swapaxes(lld["mfcc"], -1, -2)           # (..., 4, T)
+    fmt_f = jnp.swapaxes(lld["formant_freq"], -1, -2)
+    fmt_bw = jnp.swapaxes(lld["formant_bw"], -1, -2)
+    fmt_rel = jnp.swapaxes(lld["formant_rel"], -1, -2)
+    h1a3_mask = voiced & fv[..., 2, :]
 
-    feats: list[jnp.ndarray] = []
+    # ---- smoothing stack: (contour, within) rows -> ONE _sma3 ----
+    sm_x: list[jnp.ndarray] = []
+    sm_w: list[jnp.ndarray] = []
 
-    def contour_functionals(x, mask):
-        p20, p50, p80 = _masked_percentiles(x, mask, (0.2, 0.5, 0.8))
-        out = [_masked_mean(x, mask), _stddev_norm(x, mask), p20, p50, p80]
-        out.append(out[4] - out[2])  # pctlrange0-2
-        mr, sr_, mf, sf = _slope_stats(x, mask, fp)
-        out += [mr, sr_, mf, sf]
-        return out
+    def sm(x, within):
+        sm_x.append(jnp.broadcast_to(x, shape))
+        sm_w.append(jnp.broadcast_to(within, shape))
+        return len(sm_x) - 1
 
-    # F0 (10)
-    feats += contour_functionals(lld["f0_semitone"], voiced)
-    # jitter (2) — measurable voiced frames only
-    feats += [_masked_mean(lld["jitter"], jit_mask),
-              _stddev_norm(lld["jitter"], jit_mask)]
-    # loudness (10) — over all frames (sma3, not nz)
-    feats += contour_functionals(lld["loudness"], all_mask)
-    # shimmer (2) — measurable voiced frames only
-    feats += [_masked_mean(lld["shimmer_db"], shim_mask),
-              _stddev_norm(lld["shimmer_db"], shim_mask)]
-    # HNR (2), H1-H2 (2)
-    for key in ("hnr_db", "h1_h2"):
-        feats += [_masked_mean(lld[key], voiced),
-                  _stddev_norm(lld[key], voiced)]
-    # H1-A3 (2): only frames where F3 exists
-    h1a3_mask = voiced & lld["formant_valid"][..., 2]
-    feats += [_masked_mean(lld["h1_a3"], h1a3_mask),
-              _stddev_norm(lld["h1_a3"], h1a3_mask)]
-    # formants (18): freq/bw/amp-rel x mean/stddevNorm x 3 — frames missing
-    # formant i are excluded, not counted as zeros
-    for i in range(3):
-        fmask = voiced & lld["formant_valid"][..., i]
-        for arr in (lld["formant_freq"][..., i], lld["formant_bw"][..., i],
-                    lld["formant_rel"][..., i]):
-            feats += [_masked_mean(arr, fmask), _stddev_norm(arr, fmask)]
-    # voiced spectral (18): alpha, hammarberg, slopes, flux, mfcc1-4
-    v_spectral = [lld["alpha_ratio"], lld["hammarberg"], lld["slope_0_500"],
-                  lld["slope_500_1500"], lld["spectral_flux"],
-                  lld["mfcc"][..., 0], lld["mfcc"][..., 1],
-                  lld["mfcc"][..., 2], lld["mfcc"][..., 3]]
-    for arr in v_spectral:
-        feats += [_masked_mean(arr, voiced), _stddev_norm(arr, voiced)]
-    # unvoiced spectral (5): amean only
-    for arr in v_spectral[:5]:
-        feats += [_masked_mean(arr, unvoiced)]
-    # all-frame spectral (10): flux + mfcc1-4, mean + stddevNorm
-    for arr in (lld["spectral_flux"], lld["mfcc"][..., 0],
-                lld["mfcc"][..., 1], lld["mfcc"][..., 2],
-                lld["mfcc"][..., 3]):
-        feats += [_masked_mean(arr, all_mask), _stddev_norm(arr, all_mask)]
+    i_f0 = sm(lld["f0_semitone"], nz_within)
+    i_loud = sm(lld["loudness"], all_mask)
+    i_jit = sm(lld["jitter"], jit_mask)
+    i_shim = sm(lld["shimmer_db"], shim_mask)
+    i_hnr = sm(lld["hnr_db"], nz_within)
+    i_h1h2 = sm(lld["h1_h2"], nz_within)
+    i_h1a3 = sm(lld["h1_a3"], nz_within)
+    i_fmt = [[sm(arr[..., i, :], nz_within & fv[..., i, :])
+              for arr in (fmt_f, fmt_bw, fmt_rel)] for i in range(3)]
+    i_spec = [sm(lld[k], all_mask)
+              for k in ("alpha_ratio", "hammarberg", "slope_0_500",
+                        "slope_500_1500", "spectral_flux")]
+    i_mfcc = [sm(mfcc_t[..., k, :], all_mask) for k in range(4)]
 
-    # temporal (6) + equivalent sound level (1)
+    smoothed = _sma3(jnp.stack(sm_x, axis=-2),
+                     within=jnp.stack(sm_w, axis=-2))    # (..., 25, T)
+
+    # ---- distinct reduce masks, stacked once ----
+    masks = jnp.stack(
+        [jnp.broadcast_to(m, shape)
+         for m in (voiced, all_mask, unvoiced, jit_mask, shim_mask,
+                   h1a3_mask, voiced & fv[..., 0, :], voiced & fv[..., 1, :],
+                   voiced & fv[..., 2, :])], axis=-2)    # (..., 9, T)
+    MI_V, MI_ALL, MI_UNV, MI_JIT, MI_SHIM, MI_H1A3 = range(6)
+    MI_FM = [6, 7, 8]
+
+    # ---- mean + stddevNorm rows: (smoothed row, mask row) -> ONE pass ----
+    red: list[tuple[int, int]] = []
+
+    def r(row, mask_idx):
+        red.append((row, mask_idx))
+        return len(red) - 1
+
+    r_jit = r(i_jit, MI_JIT)
+    r_shim = r(i_shim, MI_SHIM)
+    r_hnr = r(i_hnr, MI_V)
+    r_h1h2 = r(i_h1h2, MI_V)
+    r_h1a3 = r(i_h1a3, MI_H1A3)
+    # formants: frames missing formant i are excluded, not counted as zeros
+    r_fmt = [[r(i_fmt[i][t], MI_FM[i]) for t in range(3)] for i in range(3)]
+    v_rows = i_spec + i_mfcc                      # alpha..flux, mfcc1-4
+    r_vspec = [r(row, MI_V) for row in v_rows]
+    r_allspec = [r(row, MI_ALL) for row in [i_spec[4]] + i_mfcc]
+    r_unv = [r(row, MI_UNV) for row in i_spec]    # amean only (5)
+
+    rows = jnp.take(smoothed, jnp.asarray([a for a, _ in red]), axis=-2)
+    rmasks = jnp.take(masks, jnp.asarray([b for _, b in red]), axis=-2)
+    means = _masked_mean(rows, rmasks)            # (..., 33)
+    stdns = _stddev_norm(rows, rmasks)            # (..., 33)
+
+    # ---- the two 10-functional contours (F0 voiced, loudness all) ----
+    pf = jnp.take(smoothed, jnp.asarray([i_f0, i_loud]), axis=-2)
+    pfm = jnp.stack([voiced, all_mask], axis=-2)
+    p20, p50, p80 = _masked_percentiles(pf, pfm, (0.2, 0.5, 0.8))
+    mean2 = _masked_mean(pf, pfm)
+    stdn2 = _stddev_norm(pf, pfm)
+    mr, sr_, mf_, sf = _slope_stats(pf, pfm, fp)
+    stat_blocks = [mean2, stdn2, p20, p50, p80, p80 - p20, mr, sr_, mf_, sf]
+
+    # ---- temporal (6) + equivalent sound level (1) ----
     duration = jnp.sum(all_mask, axis=-1) * fp
-    loud = lld["loudness"]
+    loud = smoothed[..., i_loud, :]
     l_prev = jnp.concatenate([loud[..., :1], loud[..., :-1]], axis=-1)
     l_next = jnp.concatenate([loud[..., 1:], loud[..., -1:]], axis=-1)
     thresh = (_masked_mean(loud, all_mask)[..., None] * 1.1)
     peaks = (loud > l_prev) & (loud >= l_next) & (loud > thresh) & all_mask
-    feats += [jnp.sum(peaks, axis=-1) / duration]
+    rate_peaks = jnp.sum(peaks, axis=-1) / duration
 
-    seg_voiced = _majority3(raw_voiced) & all_mask
-    n_v, mean_v, std_v = _segment_stats(seg_voiced, fp)
-    _, mean_uv, std_uv = _segment_stats((~_majority3(raw_voiced))
-                                        & all_mask, fp)
-    feats += [n_v / duration, mean_v, std_v, mean_uv, std_uv]
+    maj = _majority3(raw_voiced)
+    seg_masks = jnp.stack([maj & all_mask, (~maj) & all_mask], axis=-2)
+    n_seg, mean_seg, std_seg = _segment_stats(seg_masks, fp)
+    temporal = jnp.stack(
+        [rate_peaks, n_seg[..., 0] / duration, mean_seg[..., 0],
+         std_seg[..., 0], mean_seg[..., 1], std_seg[..., 1],
+         10.0 * jnp.log10(
+             _masked_mean(lld["frame_power"], all_mask) + 1e-12)], axis=-1)
 
-    eq_level = 10.0 * jnp.log10(
-        _masked_mean(lld["frame_power"], all_mask) + 1e-12)
-    feats += [eq_level]
+    # ---- assemble FEATURE_NAMES order via one static permutation ----
+    # pool layout: [10 stat blocks x (f0, loud)] [means 33] [stdns 33]
+    # [temporal 7]
+    pool = jnp.concatenate(stat_blocks + [means, stdns, temporal], axis=-1)
+    n_stats = 2 * len(stat_blocks)
+    o_mean, o_stdn, o_temp = n_stats, n_stats + len(red), n_stats + 2 * len(red)
 
-    out = jnp.stack(feats, axis=-1)
+    def ms(row):                       # mean, stddevNorm pair
+        return [o_mean + row, o_stdn + row]
+
+    perm: list[int] = []
+    perm += [2 * b for b in range(10)]            # F0 (10)
+    perm += ms(r_jit)                             # jitter (2)
+    perm += [2 * b + 1 for b in range(10)]        # loudness (10)
+    perm += ms(r_shim)                            # shimmer (2)
+    perm += ms(r_hnr) + ms(r_h1h2) + ms(r_h1a3)   # HNR, H1-H2, H1-A3 (6)
+    for i in range(3):                            # formants (18)
+        for t in range(3):
+            perm += ms(r_fmt[i][t])
+    for row in r_vspec:                           # voiced spectral (18)
+        perm += ms(row)
+    perm += [o_mean + row for row in r_unv]       # unvoiced amean (5)
+    for row in r_allspec:                         # all-frame spectral (10)
+        perm += ms(row)
+    perm += [o_temp + k for k in range(7)]        # temporal + eq level (7)
+
+    out = jnp.take(pool, jnp.asarray(perm), axis=-1)
     assert out.shape[-1] == NUM_FEATURES, out.shape
     # OpenSMILE-style NaN/Inf scrub (reference opensmile_extractor.py:449-452)
     return jnp.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+#: keys in a :func:`compute_llds` dict whose trailing axes are (T, C)
+#: rather than (T,) — used when broadcasting contours over an offsets axis
+_CHANNEL_KEYS = frozenset(
+    {"mfcc", "formant_freq", "formant_bw", "formant_rel", "formant_valid"})
+
+
+def functionals_multi_offset(
+    lld: dict[str, jnp.ndarray],
+    cfg: EgemapsConfig,
+    frame_masks: jnp.ndarray,
+) -> jnp.ndarray:
+    """Functionals under several offset masks in ONE pass: (..., 88 * n).
+
+    ``frame_masks`` is (n_off, T) (or broadcastable to batch + (n_off, T));
+    every LLD contour gains a broadcast offsets axis and the whole
+    functionals stage runs once with offsets as a batch dimension, instead
+    of once per offset — at B=1 streaming/full-window shapes the stage is
+    kernel-launch bound, so this divides its cost by ~n_off. Output offset
+    order matches ``concatenate([functionals(mask_i) for i ...], -1)``.
+    """
+    t = lld["voiced"].shape[-1]
+    batch = lld["voiced"].shape[:-1]
+    n_off = frame_masks.shape[-2]
+
+    def expand(k, v):
+        if k in _CHANNEL_KEYS:
+            return jnp.broadcast_to(
+                v[..., None, :, :], batch + (n_off,) + v.shape[-2:])
+        return jnp.broadcast_to(v[..., None, :], batch + (n_off, t))
+
+    lld_b = {k: expand(k, v) for k, v in lld.items()}
+    mask = jnp.broadcast_to(frame_masks, batch + (n_off, t))
+    out = functionals_from_llds(lld_b, cfg, frame_mask=mask)
+    return jnp.reshape(out, batch + (n_off * NUM_FEATURES,))
 
 
 _CALIBRATION_CACHE: dict = {}
@@ -975,11 +1059,6 @@ def egemaps_concat_windows(
     lld = compute_llds(audio, cfg)
     t = lld["voiced"].shape[-1]
     fp = cfg.hop_length / cfg.sample_rate
-    idx = jnp.arange(t)
-    outs = []
-    for off in offsets_sec:
-        cut = t - int(round(off / fp))
-        mask = idx < cut
-        mask = jnp.broadcast_to(mask, lld["voiced"].shape)
-        outs.append(functionals_from_llds(lld, cfg, frame_mask=mask))
-    return jnp.concatenate(outs, axis=-1)
+    cuts = np.asarray([t - int(round(off / fp)) for off in offsets_sec])
+    masks = jnp.arange(t)[None, :] < jnp.asarray(cuts)[:, None]  # (n_off, T)
+    return functionals_multi_offset(lld, cfg, masks)

@@ -155,12 +155,14 @@ class BatchedSequentialDecoder:
         utterance (B=1 occupies one chip). Here the utterance's window
         sequence is split into ``num_devices`` contiguous chunks and
         decoded as a sharded pseudo-batch — each chip runs the
-        STFT + window attention for its chunk only, so the dominant cost
-        (the per-window attention batch) divides by the mesh size, with
-        zero collectives in the decode itself. The eGeMAPS/emotion pass
-        over the full utterance is replicated per chip (it is one
-        sequence-level vector; sharding it would need halo exchanges
-        worth more than its ~25% cost share).
+        window-gather + attention batch for its chunk only, so the
+        dominant cost (the per-window attention batch) divides by the
+        mesh size, with zero collectives in the decode itself. The
+        full-utterance global STFT/mel and the eGeMAPS/emotion pass are
+        replicated per chip (each lane holds the whole tiled utterance;
+        sharding those sequence-level passes would need halo exchanges
+        worth more than their cost share) — only the window-batch FLOPs
+        scale with the mesh, not the whole forward.
 
         The EMA smoothing recurrence crosses chunk boundaries, so chips
         return PRE-smoothing windows (``return_raw``) and the recurrence

@@ -29,6 +29,7 @@ tests/runtime/test_multistream.py).
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Optional, Sequence
 
 import jax
@@ -80,7 +81,9 @@ class MultiStreamInference:
         self._step = jax.jit(step, donate_argnums=1)
         self._reset_fns: dict = {}
         self.frames_emitted = 0
-        self.step_times: list[float] = []
+        # bounded like StreamingInference's (streaming.py): a long-running
+        # server must not grow host memory one float per frame forever
+        self.step_times: deque[float] = deque(maxlen=300)
 
     def _fresh_states(self, single=None):
         single = single if single is not None else init_stream_state(self.cfg)
@@ -190,12 +193,14 @@ class MultiStreamInference:
         synchronized. Reports per-frame step latency across all sessions
         and the 30 fps realtime headroom.
 
-        The warmup scan runs the SAME frame count as the timed scan so
-        both hit one executable (``warmup_frames`` is accepted for API
-        compatibility but clamped up to ``n_frames``)."""
+        Every warmup scan runs the SAME frame count as the timed scan so
+        all passes hit one executable; ``warmup_frames`` larger than
+        ``n_frames`` adds whole extra warmup scans to cover it."""
         hop = self.cfg.hop_length
         silence = np.zeros((self.n_sessions, n_frames * hop), np.float32)
-        f = self.run_scan(silence)                       # compile + warm
+        n_warm_scans = max(1, -(-(warmup_frames or n_frames) // n_frames))
+        for _ in range(n_warm_scans):                    # compile + warm
+            f = self.run_scan(silence)
         float(np.asarray(f[-1, 0, 0]))
         t0 = time.perf_counter()
         f = self.run_scan(silence)

@@ -61,7 +61,7 @@ from koemorph_tpu.ops.egemaps import (
     EgemapsConfig,
     LldCarry,
     compute_lld_block,
-    functionals_from_llds,
+    functionals_multi_offset,
     init_lld_ring,
     roll_lld_ring,
     silence_lld_carry,
@@ -366,17 +366,14 @@ def stream_frame(
             chunk = ring[-chunk_len:]
             block, carry2 = compute_lld_block(chunk, ecfg, lld_carry)
             new_ring = roll_lld_ring(lld_ring, block)
-            idx = jnp.arange(rows)
             fp = ecfg.hop_length / ecfg.sample_rate
             offsets = (cfg.emotion_config.window_offsets
                        if cfg.use_concatenation else (0.0,))
-            feats = [
-                functionals_from_llds(
-                    new_ring, ecfg,
-                    frame_mask=idx < rows - int(round(off / fp)))
-                for off in offsets
-            ]
-            return jnp.concatenate(feats, axis=-1), new_ring, carry2
+            cuts = np.asarray(
+                [rows - int(round(off / fp)) for off in offsets])
+            masks = jnp.arange(rows)[None, :] < jnp.asarray(cuts)[:, None]
+            feats = functionals_multi_offset(new_ring, ecfg, masks)
+            return feats, new_ring, carry2
 
         emotion_raw, lld_ring, lld_carry = jax.lax.cond(
             do_refresh, refresh,

@@ -261,8 +261,16 @@ class Trainer:
                 if not isinstance(v, list)} for b in loader]
         if not raw:
             return {}, 0
-        sizes = [next(v.shape[0] for v in b.values() if v.ndim > 0)
-                 for b in raw]
+        sizes = []
+        for b in raw:
+            dims = {v.shape[0] for v in b.values() if v.ndim > 0}
+            if len(dims) != 1:
+                # same contract pad_batch_to_multiple enforces in the step
+                # loop: don't silently train on misaligned batches
+                raise ValueError(
+                    f"Heterogeneous leading dims in batch: "
+                    f"{ {k: getattr(v, 'shape', ()) for k, v in b.items()} }")
+            sizes.append(dims.pop())
         n_dev = self.mesh.devices.size
         target = -(-max(sizes) // n_dev) * n_dev
         prepared: list[dict] = []
@@ -307,8 +315,6 @@ class Trainer:
         attention-image logging) do not run — use ``train_epoch`` when
         those matter more than wall clock.
         """
-        from koemorph_tpu.parallel.mesh import replicated_sharding
-
         stacked, n_steps = self._stack_epoch(loader)
         if not n_steps:
             return {}
@@ -324,14 +330,7 @@ class Trainer:
         t0 = time.time()
         self.state, metrics = self._epoch_scan(self.state, stacked)
         host = {k: np.asarray(v) for k, v in metrics.items()}
-        log_every = int(self.train_cfg.get("logging", {})
-                        .get("log_every_n_steps", 50))
-        for i in range(n_steps):
-            step = self.global_step + i + 1
-            if step % log_every == 0:
-                scalars = {k: float(v[i]) for k, v in host.items()}
-                scalars["lr"] = float(self._schedule(step))
-                self._log_scalars("train", scalars, step)
+        self._replay_scan_metrics(host, n_steps)
         self.global_step += n_steps
         logger.info("epoch %d (scan): %d steps in %.1fs", self.epoch,
                     n_steps, time.time() - t0)
@@ -362,8 +361,6 @@ class Trainer:
         Returns per-epoch mean metrics (one dict per epoch, host floats);
         TensorBoard scalars are replayed at the configured cadence.
         """
-        from koemorph_tpu.parallel.mesh import replicated_sharding
-
         stacked, n_steps = self._stack_epoch(loader)
         if not n_steps or n_epochs <= 0:
             return []
@@ -393,20 +390,25 @@ class Trainer:
         self.state, metrics = runner(self.state, stacked, keys)
         host = {k: np.asarray(v).reshape(n_epochs * n_steps)
                 for k, v in metrics.items()}
-        log_every = int(self.train_cfg.get("logging", {})
-                        .get("log_every_n_steps", 50))
-        for i in range(n_epochs * n_steps):
-            step = self.global_step + i + 1
-            if step % log_every == 0:
-                scalars = {k: float(v[i]) for k, v in host.items()}
-                scalars["lr"] = float(self._schedule(step))
-                self._log_scalars("train", scalars, step)
+        self._replay_scan_metrics(host, n_epochs * n_steps)
         self.global_step += n_epochs * n_steps
         self.epoch += n_epochs
         logger.info("%d epochs x %d steps (dataset-resident scan) in "
                     "%.1fs", n_epochs, n_steps, time.time() - t0)
         return [{k: float(v[e * n_steps:(e + 1) * n_steps].mean())
                  for k, v in host.items()} for e in range(n_epochs)]
+
+    def _replay_scan_metrics(self, host: dict, n_steps: int) -> None:
+        """Replay (S,)-stacked per-step metrics from a scan epoch into
+        TensorBoard with the same tags/step numbers the step loop uses."""
+        log_every = int(self.train_cfg.get("logging", {})
+                        .get("log_every_n_steps", 50))
+        for i in range(n_steps):
+            step = self.global_step + i + 1
+            if step % log_every == 0:
+                scalars = {k: float(v[i]) for k, v in host.items()}
+                scalars["lr"] = float(self._schedule(step))
+                self._log_scalars("train", scalars, step)
 
     def validate(self, loader: Iterable[dict]) -> dict[str, float]:
         sums: dict[str, float] = {}
@@ -483,15 +485,20 @@ class Trainer:
                 val_metrics = self.validate(val_loader_fn())
                 history["val"].append(val_metrics)
                 val_loss = val_metrics.get("loss")
+            improved = val_loss is not None and val_loss < best
+            # a val improvement always saves (the reference writes
+            # best_model.pth on every improvement, src/train.py:300-328) —
+            # otherwise every_n_epochs > 1 lets a later, worse epoch claim
+            # the 'best' slot because the manager never saw the real best
             saved = ((self.epoch + 1) % max(1, ckpt_every) == 0
-                     or self.epoch + 1 == max_epochs)
+                     or self.epoch + 1 == max_epochs or improved)
             if saved:
                 self.checkpoints.save(
                     self.state.params, epoch=self.epoch,
                     global_step=self.global_step, val_loss=val_loss,
                     opt_state=self.state.opt_state)
             if val_loss is not None:
-                if val_loss < best:
+                if improved:
                     best, since_best = val_loss, 0
                 else:
                     since_best += 1
@@ -536,34 +543,38 @@ class Trainer:
         attention/emotion images every 100 steps)."""
         if self.writer is None or self._attn_image_fn is False:
             return
-        try:
-            if self._attn_image_fn is None:
-                # jitted + cached: an eager forward would dispatch the
-                # whole window decode op-by-op through the TPU tunnel
-                self._attn_image_fn = jax.jit(
-                    lambda p, a: self.state.apply_fn(
-                        {"params": p}, a, return_attention=True,
-                        deterministic=True))
-            out = self._attn_image_fn(self.state.params,
-                                      batch["audio"][:1])
-        except TypeError as e:
-            if "return_attention" in str(e):
-                # model without a return_attention path: disable permanently
-                # (False sentinel) so the failed trace is paid exactly once
+        if self._attn_image_fn is None:
+            # jitted + cached: an eager forward would dispatch the whole
+            # window decode op-by-op through the TPU tunnel. Probe the
+            # kwarg by signature-free trace once; a TypeError here means
+            # the model has no return_attention path — disable permanently
+            # (False sentinel) so the failed trace is paid exactly once.
+            fn = jax.jit(
+                lambda p, a: self.state.apply_fn(
+                    {"params": p}, a, return_attention=True,
+                    deterministic=True))
+            try:
+                fn.lower(self.state.params, batch["audio"][:1])
+            except TypeError as e:
                 logger.info(
                     "attention images disabled: model has no "
                     "return_attention path (%s)", e)
                 self._attn_image_fn = False
-            else:
-                # unrelated TypeError (e.g. a malformed batch element):
-                # drop the cached fn and retry on the next interval rather
-                # than silently losing heatmaps for the whole run
-                logger.warning("attention image logging failed, will "
-                               "retry: %s", e)
-                self._attn_image_fn = None
-            return
-        except Exception as e:  # pragma: no cover - defensive
-            logger.debug("attention image logging skipped: %s", e)
+                return
+            except Exception as e:  # pragma: no cover - defensive
+                logger.debug("attention image logging skipped: %s", e)
+                return
+            self._attn_image_fn = fn
+        try:
+            out = self._attn_image_fn(self.state.params,
+                                      batch["audio"][:1])
+        except Exception as e:
+            # transient call failure (e.g. a malformed batch element):
+            # KEEP the compiled fn — rebuilding would re-pay the whole
+            # window-decode trace every image interval — and retry on the
+            # next interval rather than silently losing heatmaps
+            logger.warning("attention image logging failed, will "
+                           "retry next interval: %s", e)
             return
         if isinstance(out, tuple):
             out = out[0]

@@ -259,3 +259,46 @@ class TestPerPeriodToggle:
         assert np.isfinite(np.asarray(proxy)).all()
         i = FEATURE_NAMES.index("shimmerLocaldB_sma3nz_amean")
         assert abs(float(full[i]) - float(proxy[i])) > 1e-4
+
+
+class TestMultiOffset:
+    """The stacked multi-offset pass must equal per-offset reduction."""
+
+    def test_multi_offset_matches_per_offset_loop(self):
+        from koemorph_tpu.ops.egemaps import (
+            functionals_from_llds, functionals_multi_offset)
+
+        cfg = EgemapsConfig()
+        x = jnp.asarray(vibrato(180.0, secs=2.0)
+                        + 0.05 * np.random.default_rng(0)
+                        .standard_normal(2 * SR).astype(np.float32))
+        lld = compute_llds(x, cfg)
+        t = lld["voiced"].shape[-1]
+        fp = cfg.hop_length / cfg.sample_rate
+        offsets = (0.0, 0.3, 0.6)
+        idx = jnp.arange(t)
+        loop = jnp.concatenate([
+            functionals_from_llds(
+                lld, cfg, frame_mask=idx < t - int(round(off / fp)))
+            for off in offsets
+        ], axis=-1)
+        masks = idx[None, :] < jnp.asarray(
+            [t - int(round(off / fp)) for off in offsets])[:, None]
+        stacked = functionals_multi_offset(lld, cfg, masks)
+        np.testing.assert_allclose(np.asarray(stacked), np.asarray(loop),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_multi_offset_batched(self):
+        from koemorph_tpu.ops.egemaps import functionals_multi_offset
+
+        cfg = EgemapsConfig()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(np.stack([
+            vibrato(150.0, secs=1.0),
+            (0.1 * rng.standard_normal(SR)).astype(np.float32)]))
+        lld = compute_llds(x, cfg)
+        t = lld["voiced"].shape[-1]
+        masks = jnp.arange(t)[None, :] < jnp.asarray([t, t - 30])[:, None]
+        out = functionals_multi_offset(lld, cfg, masks)
+        assert out.shape == (2, 2 * NUM_FEATURES)
+        assert np.isfinite(np.asarray(out)).all()
