@@ -501,11 +501,11 @@ def _lld_math(
         f0 > 0, 12.0 * jnp.log2(jnp.maximum(f0, 1e-3) / 27.5), 0.0)
 
     # --- spectrum (MXU matmul DFT: TPU has no native FFT) ---
-    from koemorph_tpu.ops.stft import autocorr_matmul, power_spectrum_matmul
+    from koemorph_tpu.ops.stft import (acf_from_power, autocorr_matmul,
+                                       power_spectrum_matmul)
 
-    mag = jnp.sqrt(jnp.maximum(
-        power_spectrum_matmul(wframes, cfg.n_fft, precision=prec),
-        0.0)) + 1e-10
+    ps = power_spectrum_matmul(wframes, cfg.n_fft, precision=prec)
+    mag = jnp.sqrt(jnp.maximum(ps, 0.0)) + 1e-10
     power = mag * mag
     n_bins = cfg.n_fft // 2 + 1
     freqs = np.linspace(0, sr / 2, n_bins).astype(np.float32)
@@ -650,7 +650,14 @@ def _lld_math(
     # roots (Durand-Kerner) -> centre frequency from the root angle and
     # EXACT -3 dB bandwidth from the root radius, bw = -ln|z| * sr / pi
     # (Markel & Gray; what Praat/openSMILE derive from the same roots) ---
-    r = autocorr_matmul(wframes, cfg.lpc_order + 1, precision=prec)
+    if cfg.n_fft >= cfg.frame_length + cfg.lpc_order + 1:
+        # the spectral chain's n_fft-point power spectrum already holds
+        # these lags exactly (Wiener-Khinchin, non-circular because
+        # n_fft >= frame + lags) — one cosine matmul instead of a second
+        # DFT GEMM pair over the same windowed frames
+        r = acf_from_power(ps, cfg.n_fft, cfg.lpc_order + 1, precision=prec)
+    else:
+        r = autocorr_matmul(wframes, cfg.lpc_order + 1, precision=prec)
     # white-noise correction (standard LPC conditioning, e.g. Praat's
     # noise floor): near-pure tones otherwise drive Levinson degenerate
     # (prediction error -> 0) and scatter clustered unit-circle roots

@@ -92,16 +92,79 @@ def yin_frame_difference(frames: jnp.ndarray, tau_max: int,
     Returns:
         (..., T, tau_max + 1) difference values.
     """
-    d, _acf, _c = _yin_difference_and_acf(frames, tau_max, tau_max + 1,
-                                          precision)
+    d, _acf, _c, _sub = _yin_difference_and_acf(frames, tau_max, tau_max + 1,
+                                                precision)
     return d
 
 
+#: static row-count bound for the stacked-ACF form. Below it the YIN
+#: chain is kernel-launch bound (B=1 full-window = 850 rows: stacking
+#: measured 0.33 -> 0.27 ms for the whole eGeMAPS call); above it the
+#: separate right-sized transforms win (B=8 x 17 s = 13.6k rows: the
+#: stacked form's ~47% extra DFT FLOPs and 4x-frames intermediate
+#: measured 3.9 -> 4.3 ms). Shapes are static under jit, so this is a
+#: trace-time branch.
+_ACF_STACK_MAX_ROWS = 4096
+
+
+def _yin_acfs(frames: jnp.ndarray, tau_max: int, n_lags: int,
+              precision: str, subwindows: bool
+              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    """Autocorrelations of the YIN spans: full frame at ``n_lags`` lags,
+    tail (last ``tau_max`` samples), and — with ``subwindows`` — a
+    (..., 2, T, tau_max + 1) pair for the first-half span
+    ``[0, W/2 + tau_max)`` and its tail ``[W/2, W/2 + tau_max)``.
+
+    Small row counts compute all spans in ONE DFT GEMM pair, selecting
+    each span by an in-place static mask rather than slice+pad — the ACF
+    is shift-invariant, so masking within the frame gives identical lags
+    while keeping every row the same length, and one (k*T, n) x (n, bins)
+    GEMM replaces k separate launch-bound DFT pairs. Large row counts
+    (see ``_ACF_STACK_MAX_ROWS``) keep separate transforms, each at its
+    own right-sized ``n_fft``."""
+    from koemorph_tpu.ops.stft import (acf_from_power, autocorr_matmul,
+                                       power_spectrum_matmul)
+
+    n = frames.shape[-1]
+    w = n - tau_max
+    half = w // 2
+    rows = int(np.prod(frames.shape[:-1]))
+    if rows <= _ACF_STACK_MAX_ROWS:
+        spans = [(0, n), (w, n)]
+        if subwindows:
+            spans += [(0, half + tau_max), (half, half + tau_max)]
+        iota = np.arange(n)
+        masks = np.stack([((iota >= lo) & (iota < hi)).astype(np.float32)
+                          for lo, hi in spans])            # (k, n)
+        stacked = frames[..., None, :, :] * jnp.asarray(masks)[:, None, :]
+        # non-circular for every row: support <= n, lags < n_lags
+        n_fft = ((n + n_lags + 7) // 8) * 8
+        power = power_spectrum_matmul(stacked, n_fft, precision=precision)
+        acfs = acf_from_power(power, n_fft, n_lags, precision=precision)
+        subs = acfs[..., 2:, :, : tau_max + 1] if subwindows else None
+        return acfs[..., 0, :, :], acfs[..., 1, :, : tau_max + 1], subs
+
+    acf_full = autocorr_matmul(frames, n_lags, precision=precision)
+    acf_tail = autocorr_matmul(frames[..., w:], tau_max + 1,
+                               precision=precision)
+    subs = None
+    if subwindows:
+        sub = frames[..., : half + tau_max]
+        subs = jnp.stack(
+            [autocorr_matmul(sub, tau_max + 1, precision=precision),
+             autocorr_matmul(sub[..., half:], tau_max + 1,
+                             precision=precision)], axis=-3)
+    return acf_full, acf_tail, subs
+
+
 def _yin_difference_and_acf(
-    frames: jnp.ndarray, tau_max: int, n_acf_lags: int, precision: str
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    frames: jnp.ndarray, tau_max: int, n_acf_lags: int, precision: str,
+    subwindows: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """(d(tau) for tau in [0, tau_max], full-frame acf[0, n_acf_lags),
-    restricted cross-correlation c(tau) = sum_{j<W} x_j x_{j+tau}).
+    restricted cross-correlation c(tau) = sum_{j<W} x_j x_{j+tau},
+    and — when ``subwindows`` — the (..., 2, T, tau_max + 1) sub-span
+    autocorrelations for :func:`_subwindow_periods`).
 
     The full-frame autocorrelation is computed once at
     ``max(tau_max + 1, n_acf_lags)`` lags so callers needing longer lags
@@ -116,12 +179,9 @@ def _yin_difference_and_acf(
     # cross-term c(tau) = sum_{j<W} x_j x_{j+tau} via the 'smart' YIN
     # trick: full-frame autocorr minus the tail's autocorr. Matmul DFTs
     # (Wiener-Khinchin) — XLA's FFT lowering is ~100x slower here.
-    from koemorph_tpu.ops.stft import autocorr_matmul
-
-    acf_full = autocorr_matmul(frames, max(tau_max + 1, n_acf_lags),
-                               precision=precision)
-    tail = frames[..., w:]
-    acf_tail = autocorr_matmul(tail, tau_max + 1, precision=precision)
+    acf_full, acf_tail, sub_acfs = _yin_acfs(
+        frames, tau_max, max(tau_max + 1, n_acf_lags), precision,
+        subwindows)
     c = acf_full[..., : tau_max + 1] - acf_tail
 
     # energy terms, frame-locally: r0 = sum_{j<W} x_j^2 (one reduce);
@@ -134,7 +194,7 @@ def _yin_difference_and_acf(
         [jnp.zeros_like(r0), _cumsum_matmul(diff, precision)], axis=-1)
 
     d = r0 + r_tau - 2.0 * c
-    return jnp.maximum(d, 0.0), acf_full, c
+    return jnp.maximum(d, 0.0), acf_full, c, sub_acfs
 
 
 def cmndf(d: jnp.ndarray, precision: str = "highest") -> jnp.ndarray:
@@ -202,8 +262,9 @@ def yin_core(
             f"(needs > {tau_max + 8})")
 
     frames = frame_signal(audio, frame_length, hop_length, center=center)
-    d, acf, c_all = _yin_difference_and_acf(
-        frames, tau_max, n_acf_lags or (tau_max + 1), precision)
+    d, acf, c_all, sub_acfs = _yin_difference_and_acf(
+        frames, tau_max, n_acf_lags or (tau_max + 1), precision,
+        subwindows=subwindow_periods)
     dprime = cmndf(d, precision)
 
     # search region [tau_min, tau_max]
@@ -251,7 +312,8 @@ def yin_core(
     result = F0Result(f0_hz=f0, voiced_prob=voiced_prob, voiced_flag=voiced)
 
     if subwindow_periods:
-        p1, p2 = _subwindow_periods(frames, tau_max, pick, c_all, precision)
+        p1, p2 = _subwindow_periods(frames, tau_max, pick, c_all, precision,
+                                    sub_acfs)
     else:
         p1 = p2 = jnp.zeros_like(f0)
     return YinCore(result=result, frames=frames, acf=acf,
@@ -292,26 +354,23 @@ def _refine_period_local(d_sub: jnp.ndarray, pick: jnp.ndarray,
 
 def _subwindow_periods(frames: jnp.ndarray, tau_max: int,
                        pick: jnp.ndarray, c_all: jnp.ndarray,
-                       precision: str
+                       precision: str, sub_acfs: jnp.ndarray,
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Waveform-matched period over each half of the YIN correlation
     window: d_half(tau) = sum over the half's samples of
     (x_j - x_{j+tau})^2, evaluated exactly like the main difference
     function but with the correlation restricted to j < W/2 (first) or
-    W/2 <= j < W (second). ``c_all`` is the full-window cross term the
-    main pass already computed (c_second = c_all - c_first, so only one
-    extra DFT pair is spent here)."""
-    from koemorph_tpu.ops.stft import autocorr_matmul
-
+    W/2 <= j < W (second). ``c_all`` is the full-window cross term and
+    ``sub_acfs`` the (..., 2, T, tau_max + 1) sub-span autocorrelations
+    the main pass already computed (in the same stacked DFT as YIN's
+    own — no extra transform is spent here)."""
     n = frames.shape[-1]
     w = n - tau_max
     half = w // 2
 
     # cross terms: c_first = acf(x[:half+tau_max]) - acf(tail of that)
-    sub = frames[..., : half + tau_max]
-    acf_sub = autocorr_matmul(sub, tau_max + 1, precision=precision)
-    acf_sub_tail = autocorr_matmul(sub[..., half:], tau_max + 1,
-                                   precision=precision)
+    acf_sub = sub_acfs[..., 0, :, :]
+    acf_sub_tail = sub_acfs[..., 1, :, :]
     c_first = acf_sub - acf_sub_tail
     c_second = c_all - c_first
 

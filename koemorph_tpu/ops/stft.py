@@ -83,6 +83,18 @@ def power_spectrum_matmul(frames: jnp.ndarray, n_fft: int,
     return re * re + im * im
 
 
+def acf_from_power(power: jnp.ndarray, n_fft: int, n_lags: int,
+                   precision: str = "highest") -> jnp.ndarray:
+    """Autocorrelation lags ``[0, n_lags)`` from an ``n_fft``-point power
+    spectrum already in hand (Wiener-Khinchin inverse as one cosine
+    matmul). Exact (non-circular) whenever ``n_fft >= n + n_lags`` for the
+    true signal support ``n`` — lets callers that already computed a
+    spectrum (the eGeMAPS spectral chain) get LPC lags for free instead
+    of paying a second DFT GEMM pair over the same frames."""
+    iacf = jnp.asarray(_iacf_matrix_np(n_fft, n_lags), dtype=power.dtype)
+    return jnp.matmul(power, iacf, precision=precision)
+
+
 def autocorr_matmul(frames: jnp.ndarray, n_lags: int,
                     n_fft: int | None = None,
                     precision: str = "highest") -> jnp.ndarray:

@@ -62,3 +62,32 @@ class TestYinF0:
     def test_frame_length_validation(self):
         with pytest.raises(ValueError, match="too small"):
             yin_f0(jnp.zeros(SR), frame_length=128, f0_min=50.0)
+
+
+class TestStackedAcfGate:
+    """The stacked-ACF form (small shapes) and the separate right-sized
+    transforms (large shapes) must agree — same YIN spans, different GEMM
+    layout, float-rounding-level differences only."""
+
+    def test_stacked_matches_separate(self, monkeypatch):
+        import koemorph_tpu.ops.f0 as f0m
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((3, 40, 512)).astype(np.float32))
+        stacked = f0m._yin_acfs(x, 326, 330, "highest", True)
+        monkeypatch.setattr(f0m, "_ACF_STACK_MAX_ROWS", 0)
+        separate = f0m._yin_acfs(x, 326, 330, "highest", True)
+        for u, v in zip(stacked, separate):
+            scale = float(np.max(np.abs(np.asarray(u))))
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       atol=1e-5 * scale)
+
+    def test_f0_identical_across_gate(self, monkeypatch):
+        import koemorph_tpu.ops.f0 as f0m
+
+        t = np.arange(SR, dtype=np.float64) / SR
+        x = jnp.asarray(np.sin(2 * np.pi * 170.0 * t).astype(np.float32))
+        a = np.asarray(yin_f0(x).f0_hz)
+        monkeypatch.setattr(f0m, "_ACF_STACK_MAX_ROWS", 0)
+        b = np.asarray(yin_f0(x).f0_hz)
+        np.testing.assert_allclose(a, b, atol=1e-3)
