@@ -324,6 +324,31 @@ def _poly_roots_dk(a: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
     return z
 
 
+def _poly_roots(a: jnp.ndarray) -> jnp.ndarray:
+    """Backend dispatch for LPC root-solving: the Pallas kernel on TPU
+    at small static row counts (whole Durand-Kerner iteration in one
+    launch, VMEM-resident — see ops/pallas/dk_roots_kernel.py; measured
+    chain-level 0.28 -> 0.26 ms at the launch-bound B=1 full-window
+    shape), the unrolled XLA form elsewhere: at B=8 x 17 s the chain
+    measured ~0.13 ms FASTER with XLA (the kernel boundary blocks
+    producer/consumer fusion that matters once launches amortize), and
+    the kernel's interpreter fallback is far slower than XLA on CPU.
+    Cross-form agreement is pinned by tests/ops/test_pallas_dk.py; both
+    forms show the same rare pairing instability on pathological
+    near-unit-circle root clusters (~0.4% of noisy frames — the
+    committed XLA form itself differs CPU-vs-TPU at the same rate, so
+    this is inherent to 20-iteration Durand-Kerner, not a kernel
+    property; such clustered junk roots fail the formant validity
+    filter in the common case)."""
+    rows = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
+    if jax.default_backend() == "tpu" and rows <= 4096:
+        from koemorph_tpu.ops.pallas.dk_roots_kernel import (
+            poly_roots_dk_pallas)
+
+        return poly_roots_dk_pallas(a)
+    return _poly_roots_dk(a)
+
+
 def _spectral_peak_db(mag_db: jnp.ndarray, center_bin: jnp.ndarray
                       ) -> jnp.ndarray:
     """Peak dB near ``center_bin``: local max over the nearest bins
@@ -663,7 +688,7 @@ def _lld_math(
     # (prediction error -> 0) and scatter clustered unit-circle roots
     r = jnp.concatenate([r[..., :1] * (1.0 + 1e-4), r[..., 1:]], axis=-1)
     a = _levinson(r, cfg.lpc_order)
-    roots = _poly_roots_dk(a)
+    roots = _poly_roots(a)
     ang = jnp.angle(roots)                       # conjugate pairs: use +ang
     radius = jnp.abs(roots)
     cand_f = ang * (sr / (2.0 * np.pi))
