@@ -67,16 +67,6 @@ from koemorph_tpu.utils.profiling import (  # noqa: E402
 )
 
 
-def timed_call(fn, *args, rtt: float, reps: int = 3) -> float:
-    """Best-of-reps wall time minus the dispatch/fetch round trip (s)."""
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _fetch(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - rtt, 0.0)
-
-
 def marginal_call(fn_short, args_short, fn_long, args_long,
                   n_short: int, n_long: int, reps: int = 3) -> float:
     """Marginal per-iteration seconds between two scan lengths.
@@ -100,7 +90,7 @@ def marginal_call(fn_short, args_short, fn_long, args_long,
                0.0) / (n_long - n_short)
 
 
-def stream_metrics(params, fps: int, rtt: float, n_frames: int = 600):
+def stream_metrics(params, fps: int, n_frames: int = 600):
     """p50/p99/mean per-frame ms for the streaming step at ``fps``.
 
     ``params`` must belong to a model whose mel window matches the fps mode
@@ -218,7 +208,7 @@ def main() -> None:
     init_s = time.perf_counter() - t0
 
     # ---- primary: streaming per-frame latency at 30 fps and 60 fps ----
-    s30, cfg30 = stream_metrics(params, fps=30, rtt=rtt)
+    s30, cfg30 = stream_metrics(params, fps=30)
 
     # ---- device-truth cross-check: sampled per-step trace histogram ----
     try:
@@ -243,7 +233,7 @@ def main() -> None:
         jax.random.PRNGKey(1),
         jnp.zeros((1, 512 * hop60), jnp.float32),
         TemporalState.create(1))["params"]
-    s60, _ = stream_metrics(params60, fps=60, rtt=rtt)
+    s60, _ = stream_metrics(params60, fps=60)
 
     # ---- reference-equivalent: full-window recompute every frame ----
     n_full, n_full_long = 120, 480

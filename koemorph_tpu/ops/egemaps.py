@@ -339,13 +339,19 @@ def _poly_roots(a: jnp.ndarray) -> jnp.ndarray:
     committed XLA form itself differs CPU-vs-TPU at the same rate, so
     this is inherent to 20-iteration Durand-Kerner, not a kernel
     property; such clustered junk roots fail the formant validity
-    filter in the common case)."""
+    filter in the common case).
+
+    Dispatch keys off the *lowering* platform (``lax.platform_dependent``),
+    not ``jax.default_backend()``: on a TPU host a CPU-placed execution
+    (``jit(..., backend="cpu")`` / committed CPU arrays) must take the XLA
+    form — ``pallas_call`` has no compiled CPU lowering."""
     rows = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
-    if jax.default_backend() == "tpu" and rows <= 4096:
+    if rows <= 4096:
         from koemorph_tpu.ops.pallas.dk_roots_kernel import (
             poly_roots_dk_pallas)
 
-        return poly_roots_dk_pallas(a)
+        return jax.lax.platform_dependent(
+            a, tpu=poly_roots_dk_pallas, default=_poly_roots_dk)
     return _poly_roots_dk(a)
 
 

@@ -23,7 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding",
-    "shard_batch", "replicate", "pad_batch_to_multiple", "local_batch_size",
+    "shard_batch", "replicate", "pad_batch_to_multiple",
+    "pad_batch_to_size", "batch_leading_size", "local_batch_size",
 ]
 
 DATA_AXIS = "data"
@@ -79,33 +80,48 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
-    """Pad every array's leading dim up to a multiple of ``multiple`` by
-    repeating the last element; returns (padded_batch, real_batch_size).
+def batch_leading_size(batch: dict) -> int:
+    """The (unique) leading dim of a batch's arrays, or 0 if none.
 
-    The trainer masks padded rows out of the loss with the returned count.
+    Raises on heterogeneous leading dims — padding/masking a misaligned
+    batch would corrupt sample alignment.
     """
     sizes = {v.shape[0] for v in batch.values()
              if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0}
     if not sizes:
-        return batch, 0
+        return 0
     if len(sizes) > 1:
         raise ValueError(
             f"Heterogeneous leading dims in batch: {sorted(sizes)}; "
             "padding would corrupt sample alignment")
-    (b,) = sizes
-    pad = (-b) % multiple
-    if pad == 0:
+    return sizes.pop()
+
+
+def pad_batch_to_size(batch: dict, target: int) -> tuple[dict, int]:
+    """Pad every array's leading dim up to exactly ``target`` rows by
+    repeating the last element; returns (padded_batch, real_batch_size).
+
+    The trainer masks padded rows out of the loss with the returned count.
+    """
+    b = batch_leading_size(batch)
+    if b == 0 or b >= target:
         return batch, b
 
     def pad_one(x):
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] != b:
             return x
-        reps = np.repeat(x[-1:], pad, axis=0)
+        reps = np.repeat(x[-1:], target - b, axis=0)
         return np.concatenate([x, reps], axis=0)
 
     return {k: pad_one(v) for k, v in batch.items()}, b
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> tuple[dict, int]:
+    """Pad every array's leading dim up to a multiple of ``multiple``
+    (repeat-last-row, see :func:`pad_batch_to_size`)."""
+    b = batch_leading_size(batch)
+    return pad_batch_to_size(batch, b + (-b) % multiple)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

@@ -74,11 +74,13 @@ class MultiStreamInference:
         self._state_axes = axes
         self.states = jax.device_put(self._fresh_states(single), self.device)
 
-        step = jax.vmap(
+        # one vmapped step shared by step() and run_scan() so the
+        # state-axes treatment can never diverge between the two paths
+        self._vstep = jax.vmap(
             lambda p, s, a: stream_frame(p, s, a, cfg),
             in_axes=(None, axes, 0),
             out_axes=({"blendshapes": 0}, axes))
-        self._step = jax.jit(step, donate_argnums=1)
+        self._step = jax.jit(self._vstep, donate_argnums=1)
         self._reset_fns: dict = {}
         self.frames_emitted = 0
         # bounded like StreamingInference's (streaming.py): a long-running
@@ -171,11 +173,7 @@ class MultiStreamInference:
         if scan is None:
             def scan_impl(params, states, hops):
                 def body(st, a):
-                    out, st2 = jax.vmap(
-                        lambda p, s_, a_: stream_frame(p, s_, a_, self.cfg),
-                        in_axes=(None, self._state_axes, 0),
-                        out_axes=({"blendshapes": 0}, self._state_axes),
-                    )(params, st, a)
+                    out, st2 = self._vstep(params, st, a)
                     return st2, out["blendshapes"]
 
                 return jax.lax.scan(body, states, hops)
@@ -211,6 +209,7 @@ class MultiStreamInference:
         return {
             "sessions": self.n_sessions,
             "frames": n_frames,
+            "scans_run": n_warm_scans + 1,
             "step_ms": per_frame * 1e3,
             "per_session_us": per_frame / self.n_sessions * 1e6,
             "rtf": per_frame / budget,

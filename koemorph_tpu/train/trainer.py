@@ -255,34 +255,25 @@ class Trainer:
         """
         from jax.sharding import NamedSharding, PartitionSpec
         from koemorph_tpu.parallel.mesh import (
-            DATA_AXIS, replicated_sharding)
+            DATA_AXIS, batch_leading_size, pad_batch_to_size,
+            replicated_sharding)
 
         raw = [{k: np.asarray(v) for k, v in b.items()
                 if not isinstance(v, list)} for b in loader]
         if not raw:
             return {}, 0
-        sizes = []
-        for b in raw:
-            dims = {v.shape[0] for v in b.values() if v.ndim > 0}
-            if len(dims) != 1:
-                # same contract pad_batch_to_multiple enforces in the step
-                # loop: don't silently train on misaligned batches
-                raise ValueError(
-                    f"Heterogeneous leading dims in batch: "
-                    f"{ {k: getattr(v, 'shape', ()) for k, v in b.items()} }")
-            sizes.append(dims.pop())
+        # same contract as pad_batch_to_multiple in the step loop: the
+        # homogeneity check + repeat-last-row padding are the shared mesh
+        # helpers, so the two paths cannot drift apart
         n_dev = self.mesh.devices.size
+        sizes = [batch_leading_size(b) for b in raw]
         target = -(-max(sizes) // n_dev) * n_dev
         prepared: list[dict] = []
-        for b, real in zip(raw, sizes):
-            padded = {}
-            for k, v in b.items():
-                if v.ndim > 0 and v.shape[0] == real and real < target:
-                    reps = np.repeat(v[-1:], target - real, axis=0)
-                    v = np.concatenate([v, reps], axis=0)
-                padded[k] = v
+        for b in raw:
+            padded, real = pad_batch_to_size(b, target)
             mask = np.zeros((target,), np.float32)
             mask[:real] = 1.0
+            padded = dict(padded)
             padded["sample_mask"] = mask
             prepared.append(padded)
         stacked = {k: np.stack([np.asarray(p[k]) for p in prepared])

@@ -122,8 +122,8 @@ def main() -> int:
     # the host loader every chunk — on-device shuffling permutes step
     # order only, and fixed membership measurably caps convergence
     # (60 fps correlation 0.63 fixed vs 0.82 reshuffled).
-    n_chunks = min(10, args.epochs)
-    per_chunk = args.epochs // n_chunks
+    n_chunks = min(10, max(args.epochs, 0))
+    per_chunk = args.epochs // n_chunks if n_chunks else 0
     epochs = []
     for c in range(n_chunks):
         dataset.set_epoch(c)
@@ -146,16 +146,18 @@ def main() -> int:
 
     suffix = "" if args.fps == 30 else f"_{args.fps}fps"
     xs = np.arange(1, len(epochs) + 1)
-    fig, ax = plt.subplots(1, 2, figsize=(10, 3.6))
-    ax[0].plot(xs, [e["loss"] for e in epochs], marker="o")
-    ax[0].set(title="training loss", xlabel="epoch", ylabel="loss")
-    if "l1" in epochs[0]:
-        ax[1].plot(xs, [e["l1"] for e in epochs], marker="o", color="teal")
-        ax[1].set(title="MAE (L1)", xlabel="epoch", ylabel="MAE")
-    fig.tight_layout()
-    fig.savefig(ASSETS / f"rehearsal_loss{suffix}.png", dpi=110)
+    if epochs:
+        fig, ax = plt.subplots(1, 2, figsize=(10, 3.6))
+        ax[0].plot(xs, [e["loss"] for e in epochs], marker="o")
+        ax[0].set(title="training loss", xlabel="epoch", ylabel="loss")
+        if "l1" in epochs[0]:
+            ax[1].plot(xs, [e["l1"] for e in epochs], marker="o",
+                       color="teal")
+            ax[1].set(title="MAE (L1)", xlabel="epoch", ylabel="MAE")
+        fig.tight_layout()
+        fig.savefig(ASSETS / f"rehearsal_loss{suffix}.png", dpi=110)
 
-    stream_keys = [k for k in epochs[0]
+    stream_keys = [k for k in (epochs[0] if epochs else ())
                    if "stream" in k or "weight" in k]
     if stream_keys:
         fig, ax = plt.subplots(figsize=(6.5, 3.6))
@@ -199,7 +201,8 @@ def main() -> int:
                    "--fps", str(args.fps),
                    "--format", "saved_model", "--cpu"])
 
-    first, last = epochs[0], epochs[-1]
+    empty = {"loss": float("nan"), "l1": float("nan")}
+    first, last = (epochs[0], epochs[-1]) if epochs else (empty, empty)
     # fps=30 writes the main report; fps=60 appends its own section so
     # both tables coexist (VERDICT r2 item 5: "a 60 fps table")
     head = ("# Training dress rehearsal (production sequential model)"
