@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,21 +108,54 @@ def yin_frame_difference(frames: jnp.ndarray, tau_max: int,
 _ACF_STACK_MAX_ROWS = 4096
 
 
+def _corr_head(frames: jnp.ndarray, half: int, n_lags: int,
+               precision: str = "high") -> jnp.ndarray:
+    """Restricted cross term ``c(tau) = sum_{j < half} x_j x_{j+tau}`` for
+    ``tau in [0, n_lags)`` via the Wiener-Khinchin sub-span pair:
+    ``acf(x[:half + n_lags - 1]) - acf(that span's tail)``.
+
+    The two DFT GEMM pairs spend ~10x the "useful" FLOPs
+    (``half * n_lags`` ~= 32k MACs/row at the eGeMAPS shapes), which
+    invites direct formulations — both were built and measured SLOWER
+    at B=8 x 17 s (13.6k rows), so this stays the Wiener-Khinchin form:
+
+    - unrolled static-slice multiply-adds: XLA does not fuse the chain;
+      every partial sum materializes ((rows, n_lags) f32 each, ~3.5 GB
+      of HBM traffic) — chain +5.5 ms.
+    - one depthwise correlation (``conv_general_dilated`` with
+      ``feature_group_count=rows``, each row's head as its own filter):
+      1.8x faster STANDALONE (0.26 vs 0.46 ms, f32-exact at
+      precision='high'), but chain-level +0.25 ms — the NCW reshape and
+      conv layout block producer/consumer fusion with the neighboring
+      ACF GEMMs, the same boundary effect that keeps the Pallas DK
+      kernel out of the large-shape path (docs/performance.md).
+    """
+    from koemorph_tpu.ops.stft import autocorr_matmul
+
+    sub = frames[..., : half + n_lags - 1]
+    a1 = autocorr_matmul(sub, n_lags, precision=precision)
+    a2 = autocorr_matmul(sub[..., half:], n_lags, precision=precision)
+    return a1 - a2
+
+
 def _yin_acfs(frames: jnp.ndarray, tau_max: int, n_lags: int,
               precision: str, subwindows: bool
               ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """Autocorrelations of the YIN spans: full frame at ``n_lags`` lags,
-    tail (last ``tau_max`` samples), and — with ``subwindows`` — a
-    (..., 2, T, tau_max + 1) pair for the first-half span
-    ``[0, W/2 + tau_max)`` and its tail ``[W/2, W/2 + tau_max)``.
+    tail (last ``tau_max`` samples), and — with ``subwindows`` — the
+    first-half restricted cross term
+    ``c_first(tau) = sum_{j < W/2} x_j x_{j+tau}`` at ``tau_max + 1``
+    lags (what :func:`_subwindow_periods` actually consumes; the
+    second half's term is ``c_all - c_first``).
 
     Small row counts compute all spans in ONE DFT GEMM pair, selecting
     each span by an in-place static mask rather than slice+pad — the ACF
     is shift-invariant, so masking within the frame gives identical lags
     while keeping every row the same length, and one (k*T, n) x (n, bins)
     GEMM replaces k separate launch-bound DFT pairs. Large row counts
-    (see ``_ACF_STACK_MAX_ROWS``) keep separate transforms, each at its
-    own right-sized ``n_fft``."""
+    (see ``_ACF_STACK_MAX_ROWS``) keep separate right-sized transforms,
+    with ``c_first`` from the sub-span pair in :func:`_corr_head` (see
+    there for the direct formulations that measured slower)."""
     from koemorph_tpu.ops.stft import (acf_from_power, autocorr_matmul,
                                        power_spectrum_matmul)
 
@@ -141,20 +175,16 @@ def _yin_acfs(frames: jnp.ndarray, tau_max: int, n_lags: int,
         n_fft = ((n + n_lags + 7) // 8) * 8
         power = power_spectrum_matmul(stacked, n_fft, precision=precision)
         acfs = acf_from_power(power, n_fft, n_lags, precision=precision)
-        subs = acfs[..., 2:, :, : tau_max + 1] if subwindows else None
-        return acfs[..., 0, :, :], acfs[..., 1, :, : tau_max + 1], subs
+        c_first = (acfs[..., 2, :, : tau_max + 1]
+                   - acfs[..., 3, :, : tau_max + 1]) if subwindows else None
+        return acfs[..., 0, :, :], acfs[..., 1, :, : tau_max + 1], c_first
 
     acf_full = autocorr_matmul(frames, n_lags, precision=precision)
     acf_tail = autocorr_matmul(frames[..., w:], tau_max + 1,
                                precision=precision)
-    subs = None
-    if subwindows:
-        sub = frames[..., : half + tau_max]
-        subs = jnp.stack(
-            [autocorr_matmul(sub, tau_max + 1, precision=precision),
-             autocorr_matmul(sub[..., half:], tau_max + 1,
-                             precision=precision)], axis=-3)
-    return acf_full, acf_tail, subs
+    c_first = (_corr_head(frames, half, tau_max + 1, precision)
+               if subwindows else None)
+    return acf_full, acf_tail, c_first
 
 
 def _yin_difference_and_acf(
@@ -163,8 +193,8 @@ def _yin_difference_and_acf(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """(d(tau) for tau in [0, tau_max], full-frame acf[0, n_acf_lags),
     restricted cross-correlation c(tau) = sum_{j<W} x_j x_{j+tau},
-    and — when ``subwindows`` — the (..., 2, T, tau_max + 1) sub-span
-    autocorrelations for :func:`_subwindow_periods`).
+    and — when ``subwindows`` — the (..., T, tau_max + 1) first-half
+    cross term ``c_first`` for :func:`_subwindow_periods`).
 
     The full-frame autocorrelation is computed once at
     ``max(tau_max + 1, n_acf_lags)`` lags so callers needing longer lags
@@ -179,7 +209,7 @@ def _yin_difference_and_acf(
     # cross-term c(tau) = sum_{j<W} x_j x_{j+tau} via the 'smart' YIN
     # trick: full-frame autocorr minus the tail's autocorr. Matmul DFTs
     # (Wiener-Khinchin) — XLA's FFT lowering is ~100x slower here.
-    acf_full, acf_tail, sub_acfs = _yin_acfs(
+    acf_full, acf_tail, c_first = _yin_acfs(
         frames, tau_max, max(tau_max + 1, n_acf_lags), precision,
         subwindows)
     c = acf_full[..., : tau_max + 1] - acf_tail
@@ -194,7 +224,7 @@ def _yin_difference_and_acf(
         [jnp.zeros_like(r0), _cumsum_matmul(diff, precision)], axis=-1)
 
     d = r0 + r_tau - 2.0 * c
-    return jnp.maximum(d, 0.0), acf_full, c, sub_acfs
+    return jnp.maximum(d, 0.0), acf_full, c, c_first
 
 
 def cmndf(d: jnp.ndarray, precision: str = "highest") -> jnp.ndarray:
@@ -262,7 +292,7 @@ def yin_core(
             f"(needs > {tau_max + 8})")
 
     frames = frame_signal(audio, frame_length, hop_length, center=center)
-    d, acf, c_all, sub_acfs = _yin_difference_and_acf(
+    d, acf, c_all, c_first = _yin_difference_and_acf(
         frames, tau_max, n_acf_lags or (tau_max + 1), precision,
         subwindows=subwindow_periods)
     dprime = cmndf(d, precision)
@@ -313,7 +343,7 @@ def yin_core(
 
     if subwindow_periods:
         p1, p2 = _subwindow_periods(frames, tau_max, pick, c_all, precision,
-                                    sub_acfs)
+                                    c_first)
     else:
         p1 = p2 = jnp.zeros_like(f0)
     return YinCore(result=result, frames=frames, acf=acf,
@@ -354,24 +384,20 @@ def _refine_period_local(d_sub: jnp.ndarray, pick: jnp.ndarray,
 
 def _subwindow_periods(frames: jnp.ndarray, tau_max: int,
                        pick: jnp.ndarray, c_all: jnp.ndarray,
-                       precision: str, sub_acfs: jnp.ndarray,
+                       precision: str, c_first: jnp.ndarray,
                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Waveform-matched period over each half of the YIN correlation
     window: d_half(tau) = sum over the half's samples of
     (x_j - x_{j+tau})^2, evaluated exactly like the main difference
     function but with the correlation restricted to j < W/2 (first) or
     W/2 <= j < W (second). ``c_all`` is the full-window cross term and
-    ``sub_acfs`` the (..., 2, T, tau_max + 1) sub-span autocorrelations
-    the main pass already computed (in the same stacked DFT as YIN's
-    own — no extra transform is spent here)."""
+    ``c_first`` the first half's restricted cross term, both already
+    computed by the main pass (stacked DFT at small shapes, direct
+    slice-sum at large ones — see :func:`_yin_acfs`)."""
     n = frames.shape[-1]
     w = n - tau_max
     half = w // 2
 
-    # cross terms: c_first = acf(x[:half+tau_max]) - acf(tail of that)
-    acf_sub = sub_acfs[..., 0, :, :]
-    acf_sub_tail = sub_acfs[..., 1, :, :]
-    c_first = acf_sub - acf_sub_tail
     c_second = c_all - c_first
 
     # energy terms per half, frame-locally (see _yin_difference_and_acf)
