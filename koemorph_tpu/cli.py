@@ -38,5 +38,9 @@ def export_main() -> int:
     return _run("export_model.py")
 
 
+def serve_main() -> int:
+    return _run("serve.py")
+
+
 if __name__ == "__main__":  # pragma: no cover
     sys.exit(rt_main())

@@ -1,0 +1,362 @@
+#!/usr/bin/env python
+"""Multi-session streaming server CLI: N concurrent avatars on one chip.
+
+The reference serves exactly ONE session per process (reference
+scripts/rt.py main loop: one AudioBuffer + one model instance). This CLI
+fronts :class:`koemorph_tpu.runtime.MultiStreamInference` — the batched
+vmap streaming step that serves hundreds of independent real-time
+sessions per chip (docs/performance.md: 0.58 ms/step for 4 sessions,
+57x headroom at 30 fps) — with two ingest modes:
+
+replay
+    Feed WAV files (tiled across the session lanes) through the batched
+    step, paced at the target fps or as fast as possible
+    (``--no-realtime``). Offline-testable: the CLI smoke tests drive
+    this mode on CPU.
+
+listen
+    One UDP socket ingests interleaved audio datagrams from any number
+    of clients: ``!I`` session id (0..sessions-1) followed by int16
+    little-endian mono PCM at the configured sample rate. Sessions that
+    underrun a tick receive silence (the engine treats silence as a
+    quiet microphone). An EMPTY payload for a session id re-admits that
+    lane as a fresh session (silence rings, unsmoothed first frame) via
+    ``MultiStreamInference.reset_sessions``.
+
+Output fan-out (``--output``):
+    udp   one socket, one JSON datagram per session per frame with a
+          ``session`` field (consumers demux on it)
+    osc   per-session OSC address ``<base>/<session>``
+    file  one JSONL stream with a ``session`` field per row
+    none  discard (capacity testing)
+
+Usage:
+    python scripts/serve.py --replay a.wav b.wav --sessions 4 \
+        --output file --output-file frames.jsonl --no-realtime
+    python scripts/serve.py --listen --listen-port 9100 --sessions 16 \
+        --output udp --port 9200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import socket
+import struct
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import jax                                              # noqa: E402
+
+from koemorph_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()
+import numpy as np                                      # noqa: E402
+
+logger = logging.getLogger("serve")
+
+_HEADER = struct.Struct("!I")
+
+
+class SessionIngest:
+    """Assembles per-session sample queues from interleaved datagrams.
+
+    Pure host-side bookkeeping (no JAX): feed datagrams with
+    :meth:`push`, then :meth:`take_block` returns the next (sessions,
+    hop) float32 block, zero-filling lanes that underran. Session ids
+    outside [0, sessions) and malformed datagrams are counted and
+    dropped, never raised — one bad client must not kill the server.
+    """
+
+    def __init__(self, sessions: int, hop: int,
+                 max_buffer_hops: int = 300):
+        self.sessions = sessions
+        self.hop = hop
+        # bound each lane's backlog (~10 s at 30 fps) so one fast client
+        # cannot grow host memory without limit; overflow drops OLDEST
+        # samples (the stream stays current, like a real-time mic ring)
+        self.max_samples = max_buffer_hops * hop
+        self.queues: list[np.ndarray] = [
+            np.zeros(0, np.float32) for _ in range(sessions)]
+        self.resets: set[int] = set()
+        self.dropped_datagrams = 0
+        self.overflowed_samples = 0
+
+    def push(self, datagram: bytes) -> None:
+        if len(datagram) < _HEADER.size:
+            self.dropped_datagrams += 1
+            return
+        (sid,) = _HEADER.unpack_from(datagram)
+        if sid >= self.sessions:
+            self.dropped_datagrams += 1
+            return
+        payload = datagram[_HEADER.size:]
+        if not payload:                       # empty payload = lane reset
+            self.resets.add(sid)
+            self.queues[sid] = np.zeros(0, np.float32)
+            return
+        if len(payload) % 2:
+            self.dropped_datagrams += 1
+            return
+        pcm = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+        q = np.concatenate([self.queues[sid], pcm])
+        if q.size > self.max_samples:
+            self.overflowed_samples += q.size - self.max_samples
+            q = q[-self.max_samples:]
+        self.queues[sid] = q
+
+    def take_resets(self) -> list[int]:
+        out = sorted(self.resets)
+        self.resets.clear()
+        return out
+
+    def take_block(self) -> np.ndarray:
+        """Next (sessions, hop) block; lanes with < hop samples queued
+        are zero-filled (silence) without consuming their partial data."""
+        block = np.zeros((self.sessions, self.hop), np.float32)
+        for i, q in enumerate(self.queues):
+            if q.size >= self.hop:
+                block[i] = q[: self.hop]
+                self.queues[i] = q[self.hop:]
+        return block
+
+
+class SessionSender:
+    """Per-session output fan-out over one BlendshapeStreamer-compatible
+    surface (UDP JSON with a ``session`` field / per-session OSC address
+    / one JSONL file with a ``session`` field)."""
+
+    def __init__(self, mode: str, host: str, port: int,
+                 osc_address: str, output_file: str | None):
+        self.mode = mode
+        self.host = host
+        self.port = port
+        self.osc_address = osc_address
+        self.frames_sent = 0
+        self._sock = None
+        self._fh = None
+        if mode in ("udp", "osc"):
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        elif mode == "file":
+            if not output_file:
+                raise ValueError("output_file required for file mode")
+            self._fh = open(output_file, "w")
+        elif mode != "none":
+            raise ValueError(f"unknown output mode: {mode}")
+
+    def send(self, frames: np.ndarray, timestamp: float) -> None:
+        """``frames`` is (sessions, 52)."""
+        if self.mode == "none":
+            self.frames_sent += len(frames)
+            return
+        if self.mode == "osc":
+            from koemorph_tpu.runtime.streamers import encode_osc_message
+            for i, row in enumerate(frames):
+                self._sock.sendto(
+                    encode_osc_message(f"{self.osc_address}/{i}",
+                                       np.asarray(row).tolist()),
+                    (self.host, self.port))
+                self.frames_sent += 1
+            return
+        for i, row in enumerate(frames):
+            payload = json.dumps({
+                "timestamp": timestamp,
+                "session": i,
+                "blendshapes": np.asarray(row, np.float32).tolist(),
+            })
+            if self.mode == "udp":
+                self._sock.sendto(payload.encode("utf-8"),
+                                  (self.host, self.port))
+            else:
+                self._fh.write(payload + "\n")
+            self.frames_sent += 1
+        if self._fh is not None:
+            self._fh.flush()
+
+    def close(self) -> None:
+        if self._sock is not None:
+            self._sock.close()
+        if self._fh is not None:
+            self._fh.close()
+
+
+def build_server(args):
+    from koemorph_tpu.models.dual_stream_model import (
+        SimplifiedDualStreamModel, TemporalState)
+    from koemorph_tpu.runtime import MultiStreamInference
+    from koemorph_tpu.runtime.streaming import StreamingConfig
+    from koemorph_tpu.train.checkpoint import load_checkpoint
+
+    import jax.numpy as jnp
+
+    model = SimplifiedDualStreamModel(
+        d_model=args.d_model, num_heads=args.num_heads,
+        mel_sequence_length=512 if args.fps == 60 else 256,
+        emotion_backend=args.emotion_backend,
+        use_concatenation=args.emotion_backend == "egemaps",
+        sample_rate=args.sample_rate, target_fps=args.fps, dropout=0.0)
+    cfg = StreamingConfig.from_model(
+        model, emotion_update_frames=max(1, int(0.3 * args.fps)))
+    example = jnp.zeros((1, cfg.window_frames * cfg.hop_length), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), example, TemporalState.create(1))["params"]
+    if args.model:
+        params, meta = load_checkpoint(args.model, target=params)
+        logger.info("Loaded checkpoint %s (epoch %s)", args.model,
+                    meta.get("epoch"))
+    else:
+        logger.warning("No --model given; using randomly initialized weights")
+    return MultiStreamInference(params, cfg, n_sessions=args.sessions)
+
+
+def _load_replay_lanes(paths: list[str], sessions: int, sample_rate: int,
+                       hop: int) -> np.ndarray:
+    """WAV files tiled across lanes -> (sessions, k*hop) float32."""
+    from koemorph_tpu.data.wav import read_wav
+
+    lanes = []
+    for i in range(sessions):
+        audio, sr = read_wav(paths[i % len(paths)], mono=True)
+        if sr != sample_rate:
+            raise ValueError(
+                f"{paths[i % len(paths)]}: sample rate {sr} != "
+                f"{sample_rate} (resample offline)")
+        lanes.append(np.asarray(audio, np.float32).reshape(-1))
+    n = max(a.size for a in lanes)
+    n = ((n + hop - 1) // hop) * hop
+    block = np.zeros((sessions, n), np.float32)
+    for i, a in enumerate(lanes):
+        block[i, : a.size] = a
+    return block
+
+
+def serve_replay(server, sender, args) -> int:
+    hop = server.cfg.hop_length
+    lanes = _load_replay_lanes(args.replay, args.sessions,
+                               args.sample_rate, hop)
+    n_frames = lanes.shape[1] // hop
+    if args.max_frames is not None:
+        n_frames = min(n_frames, args.max_frames)
+    budget = hop / args.sample_rate
+    logger.info("replay: %d sessions x %d frames", args.sessions, n_frames)
+    server.warmup()
+    next_tick = time.perf_counter()
+    for t in range(n_frames):
+        if not args.no_realtime:
+            now = time.perf_counter()
+            if now < next_tick:
+                time.sleep(next_tick - now)
+            next_tick += budget
+        frames = np.asarray(
+            server.step(lanes[:, t * hop: (t + 1) * hop]))
+        sender.send(frames, time.time())
+        if args.stats_every and (t + 1) % args.stats_every == 0:
+            ms = 1e3 * float(np.mean(server.step_times or [0.0]))
+            logger.info("frame %d/%d  step %.2f ms (%d sessions)",
+                        t + 1, n_frames, ms, args.sessions)
+    logger.info("done: %d frames sent", sender.frames_sent)
+    return 0
+
+
+def serve_listen(server, sender, args) -> int:
+    hop = server.cfg.hop_length
+    budget = hop / args.sample_rate
+    ingest = SessionIngest(args.sessions, hop)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((args.listen_host, args.listen_port))
+    sock.setblocking(False)
+    logger.info("listening on udp://%s:%d for %d sessions (hop %d)",
+                args.listen_host, args.listen_port, args.sessions, hop)
+    server.warmup()
+    sent = 0
+    next_tick = time.perf_counter() + budget
+    try:
+        while args.max_frames is None or sent < args.max_frames:
+            # drain datagrams until the tick deadline
+            while True:
+                now = time.perf_counter()
+                remain = next_tick - now
+                if remain <= 0:
+                    break
+                sock.settimeout(remain)
+                try:
+                    datagram, _addr = sock.recvfrom(65536)
+                except (socket.timeout, BlockingIOError):
+                    break
+                ingest.push(datagram)
+            next_tick += budget
+            resets = ingest.take_resets()
+            if resets:
+                server.reset_sessions(resets)
+                logger.info("reset sessions %s", resets)
+            frames = np.asarray(server.step(ingest.take_block()))
+            sender.send(frames, time.time())
+            sent += 1
+    except KeyboardInterrupt:
+        logger.info("interrupted")
+    finally:
+        sock.close()
+    logger.info("done: %d ticks, %d frames sent, %d dropped datagrams",
+                sent, sender.frames_sent, ingest.dropped_datagrams)
+    return 0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sessions", type=int, default=4)
+    p.add_argument("--replay", nargs="+",
+                   help="WAV files tiled across session lanes")
+    p.add_argument("--listen", action="store_true",
+                   help="ingest UDP audio datagrams (see module docstring)")
+    p.add_argument("--listen-host", default="127.0.0.1")
+    p.add_argument("--listen-port", type=int, default=9100)
+    p.add_argument("--model", help="checkpoint dir (orbax)")
+    p.add_argument("--output", default="file",
+                   choices=["udp", "osc", "file", "none"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=9200)
+    p.add_argument("--osc-address", default="/blendshapes")
+    p.add_argument("--output-file", default="sessions.jsonl")
+    p.add_argument("--fps", type=int, default=30, choices=[30, 60])
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--d-model", type=int, default=256)
+    p.add_argument("--num-heads", type=int, default=8)
+    p.add_argument("--emotion-backend", default="egemaps",
+                   choices=["egemaps", "basic"])
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="stop after this many ticks (tests/capacity runs)")
+    p.add_argument("--no-realtime", action="store_true",
+                   help="replay mode: as fast as possible")
+    p.add_argument("--stats-every", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (functional checks)")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    if bool(args.replay) == bool(args.listen):
+        p.error("exactly one of --replay or --listen is required")
+
+    server = build_server(args)
+    sender = SessionSender(args.output, args.host, args.port,
+                           args.osc_address,
+                           args.output_file if args.output == "file"
+                           else None)
+    try:
+        if args.replay:
+            return serve_replay(server, sender, args)
+        return serve_listen(server, sender, args)
+    finally:
+        sender.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

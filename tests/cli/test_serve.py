@@ -1,0 +1,177 @@
+"""Multi-session server CLI (scripts/serve.py): ingest unit tests plus
+subprocess smoke tests for the replay and UDP-listen modes.
+
+The reference has no multi-session counterpart (reference scripts/rt.py
+serves one session per process); the server fronts
+koemorph_tpu.runtime.MultiStreamInference, whose lane-equivalence with
+the single-session engine is pinned by tests/runtime/test_multistream.py
+— these tests cover the CLI surface around it.
+"""
+
+import importlib.util
+import json
+import socket
+import struct
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+def _load_serve_module():
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli", REPO / "scripts" / "serve.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def serve_mod():
+    return _load_serve_module()
+
+
+class TestSessionIngest:
+    def test_push_and_take_block(self, serve_mod):
+        ing = serve_mod.SessionIngest(sessions=3, hop=4)
+        pcm = (np.array([0.5, -0.5, 0.25, -0.25], np.float32)
+               * 32768.0).astype("<i2").tobytes()
+        ing.push(struct.pack("!I", 1) + pcm)
+        block = ing.take_block()
+        assert block.shape == (3, 4)
+        np.testing.assert_allclose(block[0], 0.0)
+        np.testing.assert_allclose(block[1], [0.5, -0.5, 0.25, -0.25],
+                                   atol=1e-4)
+        np.testing.assert_allclose(block[2], 0.0)
+        # queue consumed: next block is silence again
+        assert not ing.take_block().any()
+
+    def test_partial_lane_not_consumed(self, serve_mod):
+        ing = serve_mod.SessionIngest(sessions=1, hop=4)
+        half = (np.ones(2, np.float32) * 16384).astype("<i2").tobytes()
+        ing.push(struct.pack("!I", 0) + half)
+        assert not ing.take_block().any()          # underrun -> silence
+        ing.push(struct.pack("!I", 0) + half)
+        assert ing.take_block().any()              # 4 samples now queued
+
+    def test_bad_datagrams_dropped_not_raised(self, serve_mod):
+        ing = serve_mod.SessionIngest(sessions=2, hop=4)
+        ing.push(b"\x00")                          # short header
+        ing.push(struct.pack("!I", 9) + b"\x00\x00")   # bad session id
+        ing.push(struct.pack("!I", 0) + b"\x00")       # odd payload
+        assert ing.dropped_datagrams == 3
+        assert not ing.take_block().any()
+
+    def test_empty_payload_is_reset(self, serve_mod):
+        ing = serve_mod.SessionIngest(sessions=2, hop=2)
+        pcm = (np.ones(2, np.float32) * 16384).astype("<i2").tobytes()
+        ing.push(struct.pack("!I", 1) + pcm)
+        ing.push(struct.pack("!I", 1))             # reset: clears queue too
+        assert ing.take_resets() == [1]
+        assert ing.take_resets() == []
+        assert not ing.take_block().any()
+
+    def test_backlog_bounded_drops_oldest(self, serve_mod):
+        ing = serve_mod.SessionIngest(sessions=1, hop=2, max_buffer_hops=2)
+        ramp = (np.arange(8, dtype=np.float32) / 8 * 32767).astype("<i2")
+        ing.push(struct.pack("!I", 0) + ramp.tobytes())
+        assert ing.overflowed_samples == 4
+        block = ing.take_block()                   # newest 4 samples kept
+        np.testing.assert_allclose(block[0] * 8 * 32768 / 32767, [4, 5],
+                                   atol=1e-2)
+
+
+def run(args, timeout=420):
+    return subprocess.run(
+        [sys.executable, *args], cwd=REPO, timeout=timeout,
+        capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def speech_wavs(tmp_path_factory):
+    from koemorph_tpu.data.wav import write_wav
+    d = tmp_path_factory.mktemp("serve_wavs")
+    paths = []
+    for k, f0 in enumerate((160.0, 220.0)):
+        t = np.arange(int(1.5 * 16000)) / 16000
+        x = (0.4 * np.sin(2 * np.pi * f0 * t)
+             * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+        p = d / f"speech{k}.wav"
+        write_wav(p, x, 16000)
+        paths.append(p)
+    return paths
+
+
+@pytest.mark.slow
+class TestServeCli:
+    def test_replay_smoke(self, speech_wavs, tmp_path):
+        out = tmp_path / "sessions.jsonl"
+        r = run(["scripts/serve.py", "--replay",
+                 *(str(p) for p in speech_wavs),
+                 "--sessions", "3", "--output", "file",
+                 "--output-file", str(out), "--no-realtime",
+                 "--max-frames", "6", "--cpu",
+                 "--emotion-backend", "basic",
+                 "--d-model", "32", "--num-heads", "2"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        assert len(rows) == 6 * 3
+        assert sorted({row["session"] for row in rows}) == [0, 1, 2]
+        assert all(len(row["blendshapes"]) == 52 for row in rows)
+        assert all(0.0 <= v <= 1.0
+                   for row in rows for v in row["blendshapes"])
+
+    def test_listen_loopback(self, tmp_path):
+        # receiver socket for the server's UDP output
+        rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rx.bind(("127.0.0.1", 0))
+        rx.settimeout(120.0)  # first frame waits out the server's warmup
+        out_port = rx.getsockname()[1]
+        # pick the ingest port the same way (bind-then-release keeps the
+        # test free of hardcoded ports)
+        probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        probe.bind(("127.0.0.1", 0))
+        in_port = probe.getsockname()[1]
+        probe.close()
+
+        proc = subprocess.Popen(
+            [sys.executable, "scripts/serve.py", "--listen",
+             "--listen-port", str(in_port), "--sessions", "2",
+             "--output", "udp", "--port", str(out_port),
+             "--max-frames", "8", "--cpu",
+             "--emotion-backend", "basic",
+             "--d-model", "32", "--num-heads", "2"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            # feed session 1 while the server ticks; session 0 underruns
+            pcm = (np.random.default_rng(0)
+                   .standard_normal(533 * 10).astype(np.float32)
+                   * 0.1 * 32767).astype("<i2").tobytes()
+            deadline = time.time() + 300
+            rows = []
+            while len(rows) < 8 and time.time() < deadline:
+                tx.sendto(struct.pack("!I", 1) + pcm, ("127.0.0.1", in_port))
+                try:
+                    data, _ = rx.recvfrom(65536)
+                except socket.timeout:
+                    break
+                rows.append(json.loads(data))
+            assert len(rows) >= 8, f"only {len(rows)} frames received"
+            assert {r["session"] for r in rows} <= {0, 1}
+            assert all(len(r["blendshapes"]) == 52 for r in rows)
+        finally:
+            tx.close()
+            rx.close()
+            try:
+                proc.wait(timeout=300)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+        assert proc.returncode == 0, proc.stderr.read()[-2000:]
