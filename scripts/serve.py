@@ -5,8 +5,9 @@ The reference serves exactly ONE session per process (reference
 scripts/rt.py main loop: one AudioBuffer + one model instance). This CLI
 fronts :class:`koemorph_tpu.runtime.MultiStreamInference` — the batched
 vmap streaming step that serves hundreds of independent real-time
-sessions per chip (docs/performance.md: 0.58 ms/step for 4 sessions,
-57x headroom at 30 fps) — with two ingest modes:
+sessions per chip (docs/performance.md: 384 concurrent 30 fps sessions
+measured real-time at full production fidelity) — with two ingest
+modes:
 
 replay
     Feed WAV files (tiled across the session lanes) through the batched
