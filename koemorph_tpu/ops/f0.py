@@ -23,7 +23,6 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -392,8 +391,8 @@ def _subwindow_periods(frames: jnp.ndarray, tau_max: int,
     function but with the correlation restricted to j < W/2 (first) or
     W/2 <= j < W (second). ``c_all`` is the full-window cross term and
     ``c_first`` the first half's restricted cross term, both already
-    computed by the main pass (stacked DFT at small shapes, direct
-    slice-sum at large ones — see :func:`_yin_acfs`)."""
+    computed by the main pass (stacked DFT at small shapes, the
+    sub-span ACF pair at large ones — see :func:`_yin_acfs`)."""
     n = frames.shape[-1]
     w = n - tau_max
     half = w // 2

@@ -18,7 +18,57 @@ from koemorph_tpu.runtime.streaming import StreamingInference
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["run_realtime_loop"]
+__all__ = ["build_streaming_model", "run_realtime_loop"]
+
+
+def build_streaming_model(
+    *,
+    d_model: int = 256,
+    num_heads: int = 8,
+    fps: int = 30,
+    emotion_backend: str = "egemaps",
+    sample_rate: int = 16000,
+    checkpoint: Optional[str] = None,
+):
+    """The one flagship streaming recipe — model construction, config
+    derivation, jitted init, optional checkpoint load — shared by
+    scripts/rt.py and scripts/serve.py so the single-session and
+    multi-session CLIs can never serve diverging models.
+
+    Returns ``(params, cfg)``; feed them to
+    :class:`~koemorph_tpu.runtime.streaming.StreamingInference` or
+    :class:`~koemorph_tpu.runtime.multistream.MultiStreamInference`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from koemorph_tpu.models.dual_stream_model import (
+        SimplifiedDualStreamModel, TemporalState)
+    from koemorph_tpu.runtime.streaming import StreamingConfig
+    from koemorph_tpu.train.checkpoint import load_checkpoint
+
+    model = SimplifiedDualStreamModel(
+        d_model=d_model, num_heads=num_heads,
+        mel_sequence_length=512 if fps == 60 else 256,
+        emotion_backend=emotion_backend,
+        use_concatenation=emotion_backend == "egemaps",
+        sample_rate=sample_rate, target_fps=fps, dropout=0.0)
+    # derive the streaming config from the model so fusion knobs
+    # (use_learnable_weights / temperature) can't skew train vs serve
+    cfg = StreamingConfig.from_model(
+        model, emotion_update_frames=max(1, int(0.3 * fps)))
+    example = jnp.zeros((1, cfg.window_frames * cfg.hop_length),
+                        jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), example, TemporalState.create(1))["params"]
+    if checkpoint:
+        params, meta = load_checkpoint(checkpoint, target=params)
+        logger.info("Loaded checkpoint %s (epoch %s)", checkpoint,
+                    meta.get("epoch"))
+    else:
+        logger.warning(
+            "No checkpoint given; using randomly initialized weights")
+    return params, cfg
 
 
 def run_realtime_loop(

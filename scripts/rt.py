@@ -28,37 +28,18 @@ import jax                                              # noqa: E402
 
 from koemorph_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 enable_persistent_cache()
-import jax.numpy as jnp                                 # noqa: E402
 
 logger = logging.getLogger("rt")
 
 
 def build_engine(args):
-    from koemorph_tpu.models.dual_stream_model import (
-        SimplifiedDualStreamModel, TemporalState)
-    from koemorph_tpu.runtime.streaming import (
-        StreamingConfig, StreamingInference)
-    from koemorph_tpu.train.checkpoint import load_checkpoint
+    from koemorph_tpu.runtime.engine import build_streaming_model
+    from koemorph_tpu.runtime.streaming import StreamingInference
 
-    model = SimplifiedDualStreamModel(
-        d_model=args.d_model, num_heads=args.num_heads,
-        mel_sequence_length=512 if args.fps == 60 else 256,
+    params, cfg = build_streaming_model(
+        d_model=args.d_model, num_heads=args.num_heads, fps=args.fps,
         emotion_backend=args.emotion_backend,
-        use_concatenation=args.emotion_backend == "egemaps",
-        sample_rate=args.sample_rate, target_fps=args.fps, dropout=0.0)
-    # derive the streaming config from the model so fusion knobs
-    # (use_learnable_weights / temperature) can't skew train vs serve
-    cfg = StreamingConfig.from_model(
-        model, emotion_update_frames=max(1, int(0.3 * args.fps)))
-    example = jnp.zeros((1, cfg.window_frames * cfg.hop_length), jnp.float32)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), example, TemporalState.create(1))["params"]
-    if args.model:
-        params, meta = load_checkpoint(args.model, target=params)
-        logger.info("Loaded checkpoint %s (epoch %s)", args.model,
-                    meta.get("epoch"))
-    else:
-        logger.warning("No --model given; using randomly initialized weights")
+        sample_rate=args.sample_rate, checkpoint=args.model)
     return StreamingInference(params, cfg)
 
 

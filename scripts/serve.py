@@ -187,31 +187,13 @@ class SessionSender:
 
 
 def build_server(args):
-    from koemorph_tpu.models.dual_stream_model import (
-        SimplifiedDualStreamModel, TemporalState)
     from koemorph_tpu.runtime import MultiStreamInference
-    from koemorph_tpu.runtime.streaming import StreamingConfig
-    from koemorph_tpu.train.checkpoint import load_checkpoint
+    from koemorph_tpu.runtime.engine import build_streaming_model
 
-    import jax.numpy as jnp
-
-    model = SimplifiedDualStreamModel(
-        d_model=args.d_model, num_heads=args.num_heads,
-        mel_sequence_length=512 if args.fps == 60 else 256,
+    params, cfg = build_streaming_model(
+        d_model=args.d_model, num_heads=args.num_heads, fps=args.fps,
         emotion_backend=args.emotion_backend,
-        use_concatenation=args.emotion_backend == "egemaps",
-        sample_rate=args.sample_rate, target_fps=args.fps, dropout=0.0)
-    cfg = StreamingConfig.from_model(
-        model, emotion_update_frames=max(1, int(0.3 * args.fps)))
-    example = jnp.zeros((1, cfg.window_frames * cfg.hop_length), jnp.float32)
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), example, TemporalState.create(1))["params"]
-    if args.model:
-        params, meta = load_checkpoint(args.model, target=params)
-        logger.info("Loaded checkpoint %s (epoch %s)", args.model,
-                    meta.get("epoch"))
-    else:
-        logger.warning("No --model given; using randomly initialized weights")
+        sample_rate=args.sample_rate, checkpoint=args.model)
     return MultiStreamInference(params, cfg, n_sessions=args.sessions)
 
 
@@ -220,14 +202,20 @@ def _load_replay_lanes(paths: list[str], sessions: int, sample_rate: int,
     """WAV files tiled across lanes -> (sessions, k*hop) float32."""
     from koemorph_tpu.data.wav import read_wav
 
+    cache: dict[str, np.ndarray] = {}
     lanes = []
     for i in range(sessions):
-        audio, sr = read_wav(paths[i % len(paths)], mono=True)
-        if sr != sample_rate:
-            raise ValueError(
-                f"{paths[i % len(paths)]}: sample rate {sr} != "
-                f"{sample_rate} (resample offline)")
-        lanes.append(np.asarray(audio, np.float32).reshape(-1))
+        path = str(paths[i % len(paths)])
+        a = cache.get(path)
+        if a is None:
+            audio, sr = read_wav(path, mono=True)
+            if sr != sample_rate:
+                raise ValueError(
+                    f"{path}: sample rate {sr} != {sample_rate} "
+                    f"(resample offline)")
+            a = np.asarray(audio, np.float32).reshape(-1)
+            cache[path] = a
+        lanes.append(a)
     n = max(a.size for a in lanes)
     n = ((n + hop - 1) // hop) * hop
     block = np.zeros((sessions, n), np.float32)
@@ -270,34 +258,58 @@ def serve_listen(server, sender, args) -> int:
     ingest = SessionIngest(args.sessions, hop)
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     sock.bind((args.listen_host, args.listen_port))
-    sock.setblocking(False)
     logger.info("listening on udp://%s:%d for %d sessions (hop %d)",
                 args.listen_host, args.listen_port, args.sessions, hop)
     server.warmup()
+    # pre-compile the single-lane reset executable so a client's first
+    # reset datagram doesn't pay an XLA compile inside a 33 ms tick (all
+    # lanes are fresh at startup, so this is a state no-op)
+    server.reset_sessions([0])
     sent = 0
     next_tick = time.perf_counter() + budget
     try:
         while args.max_frames is None or sent < args.max_frames:
-            # drain datagrams until the tick deadline
+            # guaranteed drain: take everything already queued even when
+            # the previous tick overran the budget, so sustained overload
+            # degrades to late frames instead of permanently starved ingest
             while True:
-                now = time.perf_counter()
-                remain = next_tick - now
+                sock.settimeout(0.0)
+                try:
+                    datagram, _addr = sock.recvfrom(65536)
+                except (BlockingIOError, socket.timeout):
+                    break
+                ingest.push(datagram)
+            # then block-drain until the tick deadline
+            while True:
+                remain = next_tick - time.perf_counter()
                 if remain <= 0:
                     break
                 sock.settimeout(remain)
                 try:
                     datagram, _addr = sock.recvfrom(65536)
-                except (socket.timeout, BlockingIOError):
+                except socket.timeout:
                     break
                 ingest.push(datagram)
-            next_tick += budget
+            # resync after overload: a deadline that fell behind the wall
+            # clock would otherwise make every later tick skip its
+            # block-drain phase forever
+            next_tick = max(next_tick + budget, time.perf_counter())
             resets = ingest.take_resets()
+            for sid in resets:
+                # one lane per call: reuses the pre-compiled size-1
+                # executable regardless of how many lanes a client resets
+                server.reset_sessions([sid])
             if resets:
-                server.reset_sessions(resets)
                 logger.info("reset sessions %s", resets)
             frames = np.asarray(server.step(ingest.take_block()))
             sender.send(frames, time.time())
             sent += 1
+            if args.stats_every and sent % args.stats_every == 0:
+                ms = 1e3 * float(np.mean(server.step_times or [0.0]))
+                logger.info(
+                    "tick %d  step %.2f ms (%d sessions)  dropped=%d "
+                    "overflowed=%d", sent, ms, args.sessions,
+                    ingest.dropped_datagrams, ingest.overflowed_samples)
     except KeyboardInterrupt:
         logger.info("interrupted")
     finally:
