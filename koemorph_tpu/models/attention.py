@@ -176,19 +176,27 @@ class TorchStyleMHA(nn.Module):
     @nn.compact
     def __call__(
         self,
-        query: jnp.ndarray,   # (B, Q, E)
+        query: jnp.ndarray,   # (B, Q, E) or (1, Q, E) shared across the batch
         key: jnp.ndarray,     # (B, T, E)
         value: jnp.ndarray,   # (B, T, E)
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, T) True=valid
         need_weights: bool = False,
         deterministic: bool = True,
     ):
+        """A query batch dim of 1 against a larger key batch broadcasts the
+        (projected) queries across the batch — learned-query callers pass
+        (1, Q, E) so the Q projection runs once instead of per batch row
+        (the reference projects the broadcast queries every row,
+        dual_stream_attention.py:221-240)."""
         e = self.embed_dim
         if e % self.num_heads != 0:
             raise ValueError("embed_dim must be divisible by num_heads")
         head_dim = e // self.num_heads
-        b, q_len, _ = query.shape
-        t = key.shape[1]
+        bq, q_len, _ = query.shape
+        b, t = key.shape[0], key.shape[1]
+        if bq not in (1, b):
+            raise ValueError(
+                f"query batch {bq} must be 1 or match key batch {b}")
 
         # packed in-projection: torch stores (3E, E) weight, (3E,) bias
         in_proj_w = self.param(
@@ -196,16 +204,21 @@ class TorchStyleMHA(nn.Module):
         )
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
         wq, wk, wv = jnp.split(in_proj_w, 3, axis=0)
-        bq, bk, bv = jnp.split(in_proj_b, 3, axis=0)
+        bq_bias, bk, bv = jnp.split(in_proj_b, 3, axis=0)
 
-        q = query @ wq.T + bq
+        q = query @ wq.T + bq_bias
         k = key @ wk.T + bk
         v = value @ wv.T + bv
 
-        def split(x, n):
-            return x.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        def split(x, n, rows=None):
+            rows = b if rows is None else rows
+            return x.reshape(
+                rows, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q, k, v = split(q, q_len), split(k, t), split(v, t)
+        q = split(q, q_len, rows=bq)
+        if bq != b:
+            q = jnp.broadcast_to(q, (b,) + q.shape[1:])
+        k, v = split(k, t), split(v, t)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(head_dim)
         if key_padding_mask is not None:
             # torch semantics: padded keys (mask False) are excluded

@@ -75,11 +75,24 @@ class DualStreamCrossAttention(nn.Module):
         self,
         mel_features: jnp.ndarray,            # (B, T, 80)
         mel_temporal_features: jnp.ndarray,   # (B, 3, 80)
-        emotion_features: jnp.ndarray,        # (B, emotion_dim)
+        emotion_features: jnp.ndarray,        # (B or B//r, emotion_dim)
         return_attention: bool = False,
         deterministic: bool = True,
     ) -> dict[str, jnp.ndarray]:
+        """``emotion_features`` may carry fewer rows than the mel batch when
+        consecutive mel rows share one emotion vector (the sequential decode
+        batches ``r`` windows per utterance in utterance-major order,
+        sequential_dual_stream_model.py:86-88 extracts emotion once per
+        sequence): with ``B = Be * r`` the emotion branch — encoder, 24-query
+        attention and its decoder-head half — runs at ``Be`` rows and the
+        per-utterance outputs are repeated across each utterance's ``r``
+        windows, instead of recomputing identical rows ``r`` times."""
         b = mel_features.shape[0]
+        be = emotion_features.shape[0]
+        if b % be:
+            raise ValueError(
+                f"mel batch {b} not a multiple of emotion batch {be}")
+        rep = b // be
         n_mouth, n_expr = len(MOUTH_INDICES), len(EXPRESSION_INDICES)
 
         # ---- mel branch: (B, T, 80) -> (B, 80, 256) -> concat detail ----
@@ -97,18 +110,18 @@ class DualStreamCrossAttention(nn.Module):
             enhanced)                                       # (B, 80, d)
         mel_encoded = nn.LayerNorm(name="mel_norm")(mel_encoded)
 
-        # ---- emotion branch: (B, E) -> (B, 1, d) ----
+        # ---- emotion branch: (Be, E) -> (Be, 1, d) ----
         emo_encoded = nn.Dense(self.d_model, name="emotion_encoder")(
             emotion_features)
         emo_encoded = nn.LayerNorm(name="emotion_norm")(emo_encoded[:, None, :])
 
-        # ---- learned queries ----
+        # ---- learned queries (1-row: MHA broadcasts after projection) ----
         q_init = nn.initializers.normal(stddev=0.02)
         mouth_q = self.param("mouth_queries", q_init, (n_mouth, self.d_model))
         expr_q = self.param("expression_queries", q_init,
                             (n_expr, self.d_model))
-        mouth_q = jnp.broadcast_to(mouth_q[None], (b, n_mouth, self.d_model))
-        expr_q = jnp.broadcast_to(expr_q[None], (b, n_expr, self.d_model))
+        mouth_q = mouth_q[None]                 # (1, 28, d)
+        expr_q = expr_q[None]                   # (1, 24, d)
 
         # ---- dual attention ----
         mel_out, mel_attn = TorchStyleMHA(
@@ -125,18 +138,34 @@ class DualStreamCrossAttention(nn.Module):
           deterministic=deterministic)
         emo_out = nn.Dense(self.d_model, name="emotion_output_proj")(emo_out)
 
-        # ---- scatter-combine to (B, 52, d) ----
-        combined = jnp.zeros((b, self.num_blendshapes, self.d_model),
-                             dtype=mel_out.dtype)
-        combined = combined.at[:, np.asarray(MOUTH_INDICES)].set(mel_out)
-        combined = combined.at[:, np.asarray(EXPRESSION_INDICES)].set(emo_out)
-
         # ---- shared decoder head: d -> d/2 -> 1, sigmoid ----
-        h = nn.Dense(self.d_model // 2, name="decoder_hidden")(combined)
-        h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
-        blendshapes = nn.sigmoid(
-            nn.Dense(1, name="decoder_out")(h)
-        ).squeeze(-1)  # (B, 52)
+        # Applied per stream (the head is rowwise, so this equals the
+        # reference's scatter-then-decode on the combined (B, 52, d) tensor,
+        # dual_stream_attention.py:242-248) — the emotion half stays at Be
+        # rows until the final scatter.
+        decoder_hidden = nn.Dense(self.d_model // 2, name="decoder_hidden")
+        decoder_out = nn.Dense(1, name="decoder_out")
+        head_dropout = nn.Dropout(self.dropout)
+
+        def head(x):
+            h = head_dropout(nn.relu(decoder_hidden(x)),
+                             deterministic=deterministic)
+            return nn.sigmoid(decoder_out(h)).squeeze(-1)
+
+        mouth_bs = head(mel_out)                 # (B, 28)
+        expr_bs = head(emo_out)                  # (Be, 24)
+        if rep != 1:
+            expr_bs = jnp.repeat(expr_bs, rep, axis=0)
+            if return_attention and emo_attn is not None:
+                emo_attn = jnp.repeat(emo_attn, rep, axis=0)
+
+        # ---- scatter-combine to (B, 52) ----
+        blendshapes = jnp.zeros((b, self.num_blendshapes),
+                                dtype=mouth_bs.dtype)
+        blendshapes = blendshapes.at[:, np.asarray(MOUTH_INDICES)].set(
+            mouth_bs)
+        blendshapes = blendshapes.at[:, np.asarray(EXPRESSION_INDICES)].set(
+            expr_bs)
 
         # ---- learnable stream-weight fusion ----
         if self.use_learnable_weights:

@@ -215,10 +215,36 @@ def _ema_step(blendshapes: jnp.ndarray, state: TemporalState,
     return smoothed, new_state
 
 
+_EMA_MATMUL_MAX_T = 2048
+
+
 def _ema_associative(x_seq: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """Forward EMA values s_t = alpha x_t + (1-alpha) s_{t-1}, s_0 = x_0,
-    over axis 0, computed in O(log T) with an affine-composition scan."""
+    over axis 0.
+
+    For sequences up to ``_EMA_MATMUL_MAX_T`` the recurrence is evaluated as
+    one lower-triangular decay matmul — s = W x with
+    W[t, k] = alpha (1-alpha)^(t-k) for 1 <= k <= t and W[t, 0] = (1-alpha)^t
+    — a single MXU GEMM (~t^2 D FLOPs, ~3.4 MFLOP at the flagship decode's
+    t=64) instead of an O(log t)-depth chain of small VPU kernels, which at
+    decode shapes was latency- not FLOP-bound (~0.6 ms of a 3.6 ms decode).
+    Longer sequences fall back to the affine-composition associative scan
+    whose FLOPs stay O(t D). Callers consume the result under stop_gradient
+    (the reference detaches the carried state each step,
+    simplified_dual_stream_model.py:341-368), so the formulations also agree
+    in the backward pass."""
     t = x_seq.shape[0]
+    if t <= _EMA_MATMUL_MAX_T:
+        dt = x_seq.dtype
+        a = jnp.asarray(alpha, dt)
+        idx = jnp.arange(t)
+        diff = idx[:, None] - idx[None, :]
+        decay = jnp.power(1.0 - a, jnp.maximum(diff, 0).astype(dt))
+        w = jnp.where(diff >= 0, decay * a, jnp.zeros((), dt))
+        # column 0 carries s_0 = x_0 (no alpha factor on the first frame)
+        w = w.at[:, 0].set(decay[:, 0])
+        s = jnp.matmul(w, x_seq.reshape(t, -1), precision="highest")
+        return s.reshape(x_seq.shape)
     a = jnp.full((t,), 1.0 - alpha, x_seq.dtype).at[0].set(0.0)
     b = alpha * x_seq
     b = b.at[0].set(x_seq[0])
@@ -352,10 +378,13 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                                 + np.arange(w_frames)[None, :])
                 windows = jnp.take(log_mel, g, axis=1)    # (B,n,257,80)
             mel_w, detail_w = window_features(windows)
+            # emotion rows are per-utterance; the attention module runs
+            # its emotion branch at B rows and repeats across each
+            # utterance's n windows internally
             out = attention(
                 mel_w.reshape(b * n, self.window_frames, 80),
                 detail_w.reshape(b * n, 3, 80),
-                jnp.repeat(emotion, n, axis=0),
+                emotion,
                 return_attention=return_attention,
                 deterministic=deterministic)
             raw = jnp.swapaxes(
@@ -377,10 +406,13 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                 log_mel, g.reshape(b, -1)[..., None], axis=1)
             windows = windows.reshape(b, n, w_frames, log_mel.shape[-1])
             mel_w, detail_w = window_features(windows)
+            # emotion rows are per-utterance; the attention module runs
+            # its emotion branch at B rows and repeats across each
+            # utterance's n windows internally
             out = attention(
                 mel_w.reshape(b * n, self.window_frames, 80),
                 detail_w.reshape(b * n, 3, 80),
-                jnp.repeat(emotion, n, axis=0),
+                emotion,
                 return_attention=return_attention,
                 deterministic=deterministic)
             raw = jnp.swapaxes(

@@ -125,6 +125,35 @@ class TestDualStreamCrossAttention:
         b = f(params, mel)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_shared_emotion_rows_match_repeated_rows(self, module_and_params,
+                                                     rng):
+        """The sequential decode passes one emotion row per utterance
+        (utterance-major window batch); the module must produce exactly what
+        explicit per-window repetition produces, including attention-weight
+        shapes."""
+        mod, params = module_and_params
+        b_u, n_w = 2, 3
+        mel = jnp.asarray(rng.uniform(0, 1, (b_u * n_w, 256, 80)),
+                          jnp.float32)
+        detail = jnp.asarray(rng.uniform(0, 1, (b_u * n_w, 3, 80)),
+                             jnp.float32)
+        emo = jnp.asarray(rng.standard_normal((b_u, 256)), jnp.float32)
+        o_shared = mod.apply(params, mel, detail, emo,
+                             return_attention=True)
+        o_repeat = mod.apply(params, mel, detail,
+                             jnp.repeat(emo, n_w, axis=0),
+                             return_attention=True)
+        for k in o_repeat:
+            np.testing.assert_allclose(
+                np.asarray(o_shared[k]), np.asarray(o_repeat[k]),
+                rtol=1e-6, atol=1e-7, err_msg=k)
+
+    def test_mismatched_emotion_rows_rejected(self, module_and_params):
+        mod, params = module_and_params
+        with pytest.raises(ValueError, match="not a multiple"):
+            mod.apply(params, jnp.zeros((5, 256, 80)), jnp.zeros((5, 3, 80)),
+                      jnp.zeros((2, 256)))
+
     def test_fixed_weights_variant(self, rng):
         mod = DualStreamCrossAttention(dropout=0.0,
                                        use_learnable_weights=False)

@@ -35,15 +35,37 @@ def audio_batch():
 
 
 class TestEmaAssociative:
-    def test_matches_naive_loop(self, rng):
+    @pytest.mark.parametrize("force_scan", [False, True])
+    @pytest.mark.parametrize("alpha", [0.05, 0.7, 0.99])
+    def test_matches_naive_loop(self, rng, monkeypatch, force_scan, alpha):
+        """Both formulations — the triangular-decay matmul used at decode
+        lengths and the associative-scan fallback — match the sequential
+        recurrence."""
+        if force_scan:
+            import koemorph_tpu.models.dual_stream_model as m
+            monkeypatch.setattr(m, "_EMA_MATMUL_MAX_T", 0)
         x = jnp.asarray(rng.uniform(0, 1, (12, 3, 52)), jnp.float32)
-        alpha = 0.7
         got = np.asarray(_ema_associative(x, jnp.asarray(alpha)))
         want = np.zeros_like(got)
         want[0] = np.asarray(x[0])
         for t in range(1, 12):
             want[t] = alpha * np.asarray(x[t]) + (1 - alpha) * want[t - 1]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_matmul_matches_scan(self, rng):
+        """The two formulations agree directly (fp32 rounding only)."""
+        import koemorph_tpu.models.dual_stream_model as m
+        x = jnp.asarray(rng.uniform(0, 1, (64, 8, 52)), jnp.float32)
+        alpha = jnp.asarray(0.67)
+        via_matmul = np.asarray(_ema_associative(x, alpha))
+        saved = m._EMA_MATMUL_MAX_T
+        try:
+            m._EMA_MATMUL_MAX_T = 0
+            via_scan = np.asarray(_ema_associative(x, alpha))
+        finally:
+            m._EMA_MATMUL_MAX_T = saved
+        np.testing.assert_allclose(via_matmul, via_scan,
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestSimplifiedDualStream:
