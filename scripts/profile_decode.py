@@ -169,7 +169,7 @@ def main() -> int:
     mel_w = jnp.asarray(mel_w).reshape(b * n_out, model.window_frames, 80)
     detail_w = jnp.asarray(detail_w).reshape(b * n_out, 3, 80)
     emotion = jnp.asarray(
-        rng.standard_normal((b * n_out, model.d_model)).astype(np.float32))
+        rng.standard_normal((b, model.d_model)).astype(np.float32))
     from koemorph_tpu.models.dual_stream import DualStreamCrossAttention
 
     attn = DualStreamCrossAttention(
@@ -188,6 +188,12 @@ def main() -> int:
     ms, fl = scan_timed(attention_batch, (mel_w, detail_w, emotion),
                         rtt=rtt, iters=args.iters)
     report(f"attention_batch ({b * n_out} rows)", ms, fl)
+
+    # same stage with the pre-dedup per-window emotion rows, for the A/B
+    emotion_rep = jnp.repeat(emotion, n_out, axis=0)
+    ms, fl = scan_timed(attention_batch, (mel_w, detail_w, emotion_rep),
+                        rtt=rtt, iters=args.iters)
+    report("attention_batch (emo per win)", ms, fl)
 
     # ---- stage: EMA associative scan ----
     raw_seq = jnp.asarray(
