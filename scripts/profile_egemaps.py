@@ -258,19 +258,29 @@ def main() -> None:
             (yframes,), rtt=rtt)
         report("yin tail acf only", ms, fl)
 
-        def rtau(f):
+        def rtau(f, cumsum_fn):
             sq = f * f
             w = 512 - tau_max
             r0 = jnp.sum(sq[..., :w], axis=-1, keepdims=True)
             diff = sq[..., w:] - sq[..., :tau_max]
             return r0 + jnp.concatenate(
-                [jnp.zeros_like(r0), jnp.cumsum(diff, axis=-1)], axis=-1)
+                [jnp.zeros_like(r0), cumsum_fn(diff)], axis=-1)
 
-        ms, fl = scan_timed(rtau, (yframes,), rtt=rtt)
-        report("yin r_tau (short cumsum)", ms, fl)
+        from koemorph_tpu.ops.f0 import _cumsum_matmul
+
+        ms, fl = scan_timed(
+            lambda f: rtau(f, lambda d: _cumsum_matmul(d, prec)),
+            (yframes,), rtt=rtt)
+        report("yin r_tau (matmul cumsum)", ms, fl)
+
+        ms, fl = scan_timed(
+            lambda f: rtau(f, lambda d: jnp.cumsum(d, axis=-1)),
+            (yframes,), rtt=rtt)
+        report("yin r_tau (native, old)", ms, fl)
 
         def pick_stage(f):
-            d, _ = _yin_difference_and_acf(f, tau_max, tau_max + 1, prec)
+            d, _, _, _ = _yin_difference_and_acf(f, tau_max, tau_max + 1,
+                                                 prec)
             dprime = cmndf(d, precision=prec)
             region = dprime[..., 32:]
             nxt = jnp.concatenate(
