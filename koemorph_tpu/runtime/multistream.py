@@ -59,20 +59,44 @@ class MultiStreamInference:
     """
 
     def __init__(self, params: dict, cfg: StreamingConfig,
-                 n_sessions: int, device: Optional[jax.Device] = None):
+                 n_sessions: int, device: Optional[jax.Device] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        """``mesh`` shards the session axis over a device mesh (its first
+        axis): every per-session leaf — states, incoming hops, outputs —
+        carries ``PartitionSpec(axis)`` while params and the shared
+        refresh clock replicate, so the step contains ZERO collectives
+        (sessions are independent) and capacity scales linearly with
+        devices (384/chip measured → 8 × 384 on a v5e-8 data mesh).
+        ``n_sessions`` must divide evenly over the mesh."""
         if n_sessions < 1:
             raise ValueError("n_sessions must be >= 1")
         self.cfg = cfg
         self.n_sessions = n_sessions
-        self.device = device or jax.devices()[0]
-        self.params = jax.device_put(params, self.device)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n_dev = mesh.devices.shape[0]
+            if n_sessions % n_dev:
+                raise ValueError(
+                    f"n_sessions {n_sessions} must divide over the mesh's "
+                    f"{n_dev}-device '{axis}' axis")
+            self.device = None
+            self._lane_sharding = NamedSharding(mesh, P(axis))
+            self._scan_lane_sharding = NamedSharding(mesh, P(None, axis))
+            self._repl_sharding = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, self._repl_sharding)
+        else:
+            self.device = device or jax.devices()[0]
+            self.params = jax.device_put(params, self.device)
 
         single = init_stream_state(cfg)
         # session axis everywhere EXCEPT the shared refresh clock
         axes = jax.tree_util.tree_map(lambda _: 0, single)
         axes = axes.replace(frame_count=None)
         self._state_axes = axes
-        self.states = jax.device_put(self._fresh_states(single), self.device)
+        self.states = self._place_states(self._fresh_states(single))
 
         # one vmapped step shared by step() and run_scan() so the
         # state-axes treatment can never diverge between the two paths
@@ -94,6 +118,23 @@ class MultiStreamInference:
             lambda x: jnp.broadcast_to(x, (n,) + x.shape), single)
         return batched.replace(frame_count=single.frame_count)
 
+    def _place_states(self, states):
+        """Pin the state pytree to its home: lane-sharded over the mesh
+        (shared clock replicated), or the single serving device."""
+        if self.mesh is None:
+            return jax.device_put(states, self.device)
+        clock = jax.device_put(states.frame_count, self._repl_sharding)
+        dummy = states.replace(frame_count=jnp.zeros(
+            (self.n_sessions,), jnp.int32))
+        placed = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._lane_sharding), dummy)
+        return placed.replace(frame_count=clock)
+
+    def _put_hops(self, hops: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return jax.device_put(hops, self.device)
+        return jax.device_put(hops, self._lane_sharding)
+
     # -- serving -----------------------------------------------------------
 
     def warmup(self) -> None:
@@ -102,7 +143,7 @@ class MultiStreamInference:
         out, _ = self._step(
             self.params,
             jax.tree_util.tree_map(jnp.copy, self.states),
-            jnp.zeros((self.n_sessions, hop), jnp.float32))
+            self._put_hops(jnp.zeros((self.n_sessions, hop), jnp.float32)))
         jax.block_until_ready(out["blendshapes"])
 
     def step(self, hops: np.ndarray) -> jax.Array:
@@ -112,6 +153,7 @@ class MultiStreamInference:
             raise ValueError(
                 f"expected ({self.n_sessions}, {self.cfg.hop_length}) "
                 f"audio, got {hops.shape}")
+        hops = self._put_hops(hops)
         t0 = time.perf_counter()
         out, self.states = self._step(self.params, self.states, hops)
         self.step_times.append(time.perf_counter() - t0)
@@ -180,8 +222,10 @@ class MultiStreamInference:
 
             scan = self._scan_fn = jax.jit(scan_impl)
 
-        self.states, frames = scan(self.params, self.states,
-                                   jnp.asarray(hops))
+        hops = jnp.asarray(hops)
+        if self.mesh is not None:
+            hops = jax.device_put(hops, self._scan_lane_sharding)
+        self.states, frames = scan(self.params, self.states, hops)
         self.frames_emitted += t * s
         return frames
 

@@ -194,7 +194,13 @@ def build_server(args):
         d_model=args.d_model, num_heads=args.num_heads, fps=args.fps,
         emotion_backend=args.emotion_backend,
         sample_rate=args.sample_rate, checkpoint=args.model)
-    return MultiStreamInference(params, cfg, n_sessions=args.sessions)
+    mesh = None
+    if args.mesh_devices:
+        from koemorph_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices=args.mesh_devices)
+    return MultiStreamInference(params, cfg, n_sessions=args.sessions,
+                                mesh=mesh)
 
 
 def _load_replay_lanes(paths: list[str], sessions: int, sample_rate: int,
@@ -341,6 +347,10 @@ def main() -> int:
     p.add_argument("--num-heads", type=int, default=8)
     p.add_argument("--emotion-backend", default="egemaps",
                    choices=["egemaps", "basic"])
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard the session axis over this many devices "
+                        "(0 = single device; sessions must divide evenly; "
+                        "capacity scales linearly — zero collectives)")
     p.add_argument("--max-frames", type=int, default=None,
                    help="stop after this many ticks (tests/capacity runs)")
     p.add_argument("--no-realtime", action="store_true",

@@ -126,6 +126,25 @@ class TestServeCli:
         assert all(0.0 <= v <= 1.0
                    for row in rows for v in row["blendshapes"])
 
+    def test_replay_smoke_mesh_sharded(self, speech_wavs, tmp_path):
+        """--mesh-devices shards the session axis over the virtual
+        8-device CPU mesh (conftest exports the XLA flag to
+        subprocesses); outputs must be well-formed per lane."""
+        out = tmp_path / "sessions.jsonl"
+        r = run(["scripts/serve.py", "--replay",
+                 *(str(p) for p in speech_wavs),
+                 "--sessions", "4", "--mesh-devices", "4",
+                 "--output", "file",
+                 "--output-file", str(out), "--no-realtime",
+                 "--max-frames", "5", "--cpu",
+                 "--emotion-backend", "basic",
+                 "--d-model", "32", "--num-heads", "2"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        assert len(rows) == 5 * 4
+        assert sorted({row["session"] for row in rows}) == [0, 1, 2, 3]
+        assert all(len(row["blendshapes"]) == 52 for row in rows)
+
     def test_listen_loopback(self, tmp_path):
         # receiver socket for the server's UDP output
         rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)

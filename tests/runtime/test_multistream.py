@@ -148,3 +148,82 @@ class TestStats:
         assert stats["step_ms"] > 0 and np.isfinite(stats["rtf"])
         # warmup scan + timed scan, both 12 frames, 2 sessions
         assert server.frames_emitted == 2 * 24
+
+
+class TestMeshSharding:
+    """Session-axis sharding over a device mesh: a layout change only —
+    lane outputs must match the single-device server to float32
+    rounding, state leaves must STAY lane-sharded across steps (no
+    silent full-gather), and params/the shared clock must replicate."""
+
+    def _servers(self, n_sessions=8):
+        from koemorph_tpu.parallel.mesh import make_mesh
+
+        params = tiny_params()
+        mesh = make_mesh()
+        return (MultiStreamInference(params, TINY, n_sessions),
+                MultiStreamInference(params, TINY, n_sessions, mesh=mesh),
+                mesh)
+
+    def test_lanes_match_unsharded_server(self):
+        hop = TINY.hop_length
+        n_frames, n_sessions = 8, 8
+        audio = np.stack([_speech_like(n_frames * hop, seed=80 + s)
+                          for s in range(n_sessions)])
+        plain, sharded, _ = self._servers(n_sessions)
+        for i in range(n_frames):
+            chunk = audio[:, i * hop:(i + 1) * hop]
+            a = np.asarray(plain.step(chunk))
+            b = np.asarray(sharded.step(chunk))
+            # per-shard (1, ...) GEMMs vs one (8, ...) GEMM reduce in a
+            # different order: float32 rounding only (observed ~4e-9)
+            np.testing.assert_allclose(a, b, atol=1e-6, rtol=0,
+                                       err_msg=f"frame {i}")
+
+    def test_states_stay_lane_sharded(self):
+        hop = TINY.hop_length
+        _, sharded, mesh = self._servers(8)
+        axis = mesh.axis_names[0]
+        for _ in range(3):
+            sharded.step(np.zeros((8, hop), np.float32))
+
+        def spec_of(x):
+            return x.sharding.spec
+
+        assert spec_of(sharded.states.mel_db)[0] == axis
+        assert spec_of(sharded.states.audio_ring)[0] == axis
+        # shared refresh clock and params replicate
+        assert all(s is None for s in spec_of(sharded.states.frame_count))
+        leaf = jax.tree_util.tree_leaves(sharded.params)[0]
+        assert all(s is None for s in spec_of(leaf))
+
+    def test_run_scan_matches_step_loop_sharded(self):
+        hop = TINY.hop_length
+        n_frames, n_sessions = 6, 8
+        audio = np.stack([_speech_like(n_frames * hop, seed=90 + s)
+                          for s in range(n_sessions)])
+        _, sharded, mesh = self._servers(n_sessions)
+        via_scan = np.asarray(sharded.run_scan(audio))
+
+        _, stepper, _ = self._servers(n_sessions)
+        via_steps = np.stack([np.asarray(
+            stepper.step(audio[:, i * hop:(i + 1) * hop]))
+            for i in range(n_frames)])
+        np.testing.assert_allclose(via_scan, via_steps, atol=1e-6, rtol=0)
+
+    def test_reset_under_mesh(self):
+        hop = TINY.hop_length
+        _, sharded, _ = self._servers(8)
+        before = np.asarray(sharded.step(
+            np.full((8, hop), 0.1, np.float32)))
+        sharded.reset_sessions([0, 5])
+        after = np.asarray(sharded.step(np.zeros((8, hop), np.float32)))
+        assert np.isfinite(after).all()
+        assert before.shape == after.shape == (8, 52)
+
+    def test_uneven_sessions_rejected(self):
+        from koemorph_tpu.parallel.mesh import make_mesh
+
+        import pytest
+        with pytest.raises(ValueError, match="divide"):
+            MultiStreamInference(tiny_params(), TINY, 5, mesh=make_mesh())
