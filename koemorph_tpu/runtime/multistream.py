@@ -24,6 +24,18 @@ to one refresh interval (<=300 ms at the production cadence) for its
 first non-silence emotion vector. Lane outputs are otherwise identical
 to a dedicated :class:`StreamingInference` fed the same audio (pinned by
 tests/runtime/test_multistream.py).
+
+``refresh_cohorts=G`` generalizes the shared clock to G clocks: lanes
+split into G static cohorts whose refresh phases are spread over the
+K-frame cadence, so each step refreshes AT MOST ONE cohort of S/G
+sessions instead of all S every K frames. Each cohort's predicate is
+still a scalar (one ``lax.cond`` per cohort, unrolled at trace time), so
+the heavy branch stays a true branch — the refresh load just moves from
+one giant spike every K frames to a small constant per step. That spike
+was the capacity wall (and the HBM peak): flattening it is what lifts
+one chip from ~384 to >1000 concurrent sessions (docs/performance.md).
+Phase-shifted lanes remain exactly a dedicated engine whose clock
+started at the cohort's phase (pinned by TestRefreshCohorts).
 """
 
 from __future__ import annotations
@@ -60,7 +72,8 @@ class MultiStreamInference:
 
     def __init__(self, params: dict, cfg: StreamingConfig,
                  n_sessions: int, device: Optional[jax.Device] = None,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 refresh_cohorts: int = 1):
         """``mesh`` shards the session axis over a device mesh (its first
         axis): every per-session leaf — states, incoming hops, outputs —
         carries ``PartitionSpec(axis)`` while params and the shared
@@ -70,8 +83,19 @@ class MultiStreamInference:
         ``n_sessions`` must divide evenly over the mesh."""
         if n_sessions < 1:
             raise ValueError("n_sessions must be >= 1")
+        k = cfg.emotion_update_frames
+        if not 1 <= refresh_cohorts <= max(k, 1):
+            raise ValueError(
+                f"refresh_cohorts {refresh_cohorts} must be in [1, "
+                f"emotion_update_frames={k}] (distinct phases mod the "
+                f"cadence keep at most one cohort refreshing per step)")
+        if n_sessions % refresh_cohorts:
+            raise ValueError(
+                f"n_sessions {n_sessions} must divide into "
+                f"{refresh_cohorts} cohorts")
         self.cfg = cfg
         self.n_sessions = n_sessions
+        self.refresh_cohorts = refresh_cohorts
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -82,6 +106,11 @@ class MultiStreamInference:
                 raise ValueError(
                     f"n_sessions {n_sessions} must divide over the mesh's "
                     f"{n_dev}-device '{axis}' axis")
+            if (n_sessions // refresh_cohorts) % n_dev:
+                raise ValueError(
+                    f"each cohort ({n_sessions // refresh_cohorts} "
+                    f"sessions) must divide over the mesh's {n_dev} "
+                    f"devices")
             self.device = None
             self._lane_sharding = NamedSharding(mesh, P(axis))
             self._scan_lane_sharding = NamedSharding(mesh, P(None, axis))
@@ -104,19 +133,62 @@ class MultiStreamInference:
             lambda p, s, a: stream_frame(p, s, a, cfg),
             in_axes=(None, axes, 0),
             out_axes=({"blendshapes": 0}, axes))
-        self._step = jax.jit(self._vstep, donate_argnums=1)
+        self._sstep = (self._vstep if refresh_cohorts == 1
+                       else self._make_cohort_step())
+        self._step = jax.jit(self._sstep, donate_argnums=1)
         self._reset_fns: dict = {}
         self.frames_emitted = 0
         # bounded like StreamingInference's (streaming.py): a long-running
         # server must not grow host memory one float per frame forever
         self.step_times: deque[float] = deque(maxlen=300)
 
+    def _init_clock(self) -> jnp.ndarray:
+        """() scalar for the single shared clock; (G,) phase vector for
+        cohorts — cohort c's clock starts at phase ``c*K//G`` so refreshes
+        land on distinct steps of the K-frame cadence (at most one cohort
+        refreshes per step; cohort 0 keeps the legacy refresh-at-frame-0
+        behavior)."""
+        g = self.refresh_cohorts
+        if g == 1:
+            return jnp.zeros((), jnp.int32)
+        k = self.cfg.emotion_update_frames
+        return jnp.asarray([(c * k) // g for c in range(g)], jnp.int32)
+
     def _fresh_states(self, single=None):
         single = single if single is not None else init_stream_state(self.cfg)
         n = self.n_sessions
         batched = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n,) + x.shape), single)
-        return batched.replace(frame_count=single.frame_count)
+        return batched.replace(frame_count=self._init_clock())
+
+    def _make_cohort_step(self):
+        """Step over G static cohort slices: one scalar-predicate vstep per
+        cohort (unrolled at trace time), outputs and lane states
+        re-concatenated; the (G,) clock is carried separately from the
+        lane-batched leaves."""
+        g, n = self.refresh_cohorts, self.n_sessions
+        spc = n // g
+
+        def sstep(params, states, hops):
+            clocks = states.frame_count
+            dummy = states.replace(
+                frame_count=jnp.zeros((n,), jnp.int32))
+            outs, lanes, new_clocks = [], [], []
+            for c in range(g):
+                sl = slice(c * spc, (c + 1) * spc)
+                st_c = jax.tree_util.tree_map(
+                    lambda x: x[sl], dummy).replace(frame_count=clocks[c])
+                out_c, new_c = self._vstep(params, st_c, hops[sl])
+                outs.append(out_c["blendshapes"])
+                new_clocks.append(new_c.frame_count)
+                lanes.append(new_c.replace(
+                    frame_count=jnp.zeros((spc,), jnp.int32)))
+            merged = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *lanes)
+            return ({"blendshapes": jnp.concatenate(outs, axis=0)},
+                    merged.replace(frame_count=jnp.stack(new_clocks)))
+
+        return sstep
 
     def _place_states(self, states):
         """Pin the state pytree to its home: lane-sharded over the mesh
@@ -215,7 +287,7 @@ class MultiStreamInference:
         if scan is None:
             def scan_impl(params, states, hops):
                 def body(st, a):
-                    out, st2 = self._vstep(params, st, a)
+                    out, st2 = self._sstep(params, st, a)
                     return st2, out["blendshapes"]
 
                 return jax.lax.scan(body, states, hops)

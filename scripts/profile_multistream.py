@@ -42,6 +42,10 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=120,
                     help="timed frames per measurement")
     ap.add_argument("--fps", type=int, default=30)
+    ap.add_argument("--refresh-cohorts", type=int, default=1,
+                    help="stagger the emotion refresh over N session "
+                         "cohorts (uniform step cost instead of a spike "
+                         "every 300 ms)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -72,7 +76,8 @@ def main() -> int:
 
     rows = []
     for s in args.sessions:
-        server = MultiStreamInference(params, cfg, n_sessions=s)
+        server = MultiStreamInference(params, cfg, n_sessions=s,
+                                      refresh_cohorts=args.refresh_cohorts)
         t0 = time.perf_counter()
         stats = server.sustained_stats(n_frames=args.frames)
         # subtract EVERY scan sustained_stats ran (warmups + timed), not

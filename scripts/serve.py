@@ -200,7 +200,8 @@ def build_server(args):
 
         mesh = make_mesh(num_devices=args.mesh_devices)
     return MultiStreamInference(params, cfg, n_sessions=args.sessions,
-                                mesh=mesh)
+                                mesh=mesh,
+                                refresh_cohorts=args.refresh_cohorts)
 
 
 def _load_replay_lanes(paths: list[str], sessions: int, sample_rate: int,
@@ -347,6 +348,11 @@ def main() -> int:
     p.add_argument("--num-heads", type=int, default=8)
     p.add_argument("--emotion-backend", default="egemaps",
                    choices=["egemaps", "basic"])
+    p.add_argument("--refresh-cohorts", type=int, default=1,
+                   help="stagger the emotion refresh over this many "
+                        "session cohorts (1..emotion_update_frames); "
+                        "flattens the every-300ms refresh spike and "
+                        "raises per-chip capacity")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard the session axis over this many devices "
                         "(0 = single device; sessions must divide evenly; "

@@ -227,3 +227,107 @@ class TestMeshSharding:
         import pytest
         with pytest.raises(ValueError, match="divide"):
             MultiStreamInference(tiny_params(), TINY, 5, mesh=make_mesh())
+
+
+class TestRefreshCohorts:
+    """Staggered emotion refresh: lanes of cohort c must equal a dedicated
+    StreamingInference whose clock STARTED at the cohort's phase — the
+    cohort split is a scheduling change, not a compute change."""
+
+    def test_cohort_lanes_match_phase_shifted_engines(self):
+        import dataclasses
+
+        from koemorph_tpu.runtime import StreamingInference
+        from koemorph_tpu.runtime.streaming import init_stream_state
+
+        params = tiny_params()
+        hop = TINY.hop_length
+        k = TINY.emotion_update_frames           # 3 in the TINY config
+        n_frames, n_sessions, g = 2 * k + 1, 4, 2
+        audio = np.stack([_speech_like(n_frames * hop, seed=120 + s)
+                          for s in range(n_sessions)])
+
+        server = MultiStreamInference(params, TINY, n_sessions,
+                                      refresh_cohorts=g)
+        phases = np.asarray(server.states.frame_count)
+        assert phases.shape == (g,) and len(set(phases.tolist())) == g
+
+        batched = np.stack([np.asarray(
+            server.step(audio[:, i * hop:(i + 1) * hop]))
+            for i in range(n_frames)])           # (T, S, 52)
+
+        spc = n_sessions // g
+        for s in range(n_sessions):
+            single = StreamingInference(params, TINY)
+            single.state = single.state.replace(
+                frame_count=jnp.asarray(int(phases[s // spc]), jnp.int32))
+            frames = np.stack(single.process_audio(audio[s]))
+            np.testing.assert_allclose(
+                batched[:, s], frames, atol=1e-5, rtol=0,
+                err_msg=f"lane {s} (cohort {s // spc}) diverged")
+
+    def test_cohort_one_equals_legacy(self):
+        hop = TINY.hop_length
+        params = tiny_params()
+        audio = np.stack([_speech_like(4 * hop, seed=140 + s)
+                          for s in range(2)])
+        a = MultiStreamInference(params, TINY, 2)
+        b = MultiStreamInference(params, TINY, 2, refresh_cohorts=1)
+        for i in range(4):
+            chunk = audio[:, i * hop:(i + 1) * hop]
+            np.testing.assert_array_equal(np.asarray(a.step(chunk)),
+                                          np.asarray(b.step(chunk)))
+
+    def test_cohorts_with_mesh(self):
+        from koemorph_tpu.parallel.mesh import make_mesh
+
+        hop = TINY.hop_length
+        params = tiny_params()
+        n_sessions, g = 16, 2                    # 8 lanes/cohort over 8 dev
+        audio = np.stack([_speech_like(3 * hop, seed=160 + s)
+                          for s in range(n_sessions)])
+        plain = MultiStreamInference(params, TINY, n_sessions,
+                                     refresh_cohorts=g)
+        sharded = MultiStreamInference(params, TINY, n_sessions,
+                                       refresh_cohorts=g, mesh=make_mesh())
+        for i in range(3):
+            chunk = audio[:, i * hop:(i + 1) * hop]
+            np.testing.assert_allclose(
+                np.asarray(plain.step(chunk)),
+                np.asarray(sharded.step(chunk)), atol=1e-6, rtol=0)
+
+    def test_reset_keeps_cohort_phase(self):
+        hop = TINY.hop_length
+        params = tiny_params()
+        server = MultiStreamInference(params, TINY, 4, refresh_cohorts=2)
+        phases = np.asarray(server.states.frame_count).copy()
+        server.step(np.zeros((4, hop), np.float32))
+        server.reset_sessions([0, 3])
+        after = np.asarray(server.states.frame_count)
+        np.testing.assert_array_equal(after, phases + 1)
+
+    def test_run_scan_matches_step_loop_cohorted(self):
+        hop = TINY.hop_length
+        params = tiny_params()
+        n_frames, n_sessions = 7, 4
+        audio = np.stack([_speech_like(n_frames * hop, seed=180 + s)
+                          for s in range(n_sessions)])
+        a = MultiStreamInference(params, TINY, n_sessions,
+                                 refresh_cohorts=2)
+        via_scan = np.asarray(a.run_scan(audio))
+        b = MultiStreamInference(params, TINY, n_sessions,
+                                 refresh_cohorts=2)
+        via_steps = np.stack([np.asarray(
+            b.step(audio[:, i * hop:(i + 1) * hop]))
+            for i in range(n_frames)])
+        np.testing.assert_allclose(via_scan, via_steps, atol=1e-6, rtol=0)
+
+    def test_validation(self):
+        import pytest
+        params = tiny_params()
+        with pytest.raises(ValueError, match="refresh_cohorts"):
+            MultiStreamInference(params, TINY, 8,
+                                 refresh_cohorts=TINY.
+                                 emotion_update_frames + 1)
+        with pytest.raises(ValueError, match="divide into"):
+            MultiStreamInference(params, TINY, 5, refresh_cohorts=2)
