@@ -378,13 +378,20 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                                 + np.arange(w_frames)[None, :])
                 windows = jnp.take(log_mel, g, axis=1)    # (B,n,257,80)
             mel_w, detail_w = window_features(windows)
-            # emotion rows are per-utterance; the attention module runs
-            # its emotion branch at B rows and repeats across each
-            # utterance's n windows internally
+            # emotion rows are per-utterance; at inference the attention
+            # module runs its emotion branch at B rows and repeats across
+            # each utterance's n windows. In TRAINING mode the rows are
+            # repeated here instead, so each window draws independent
+            # dropout masks — sharing one realization across n windows
+            # would weaken the emotion branch's regularization and zero
+            # its intra-utterance variation under the velocity loss
+            # (matches the reference, which always ran B*n rows).
+            emo_rows = emotion if deterministic else jnp.repeat(
+                emotion, n, axis=0)
             out = attention(
                 mel_w.reshape(b * n, self.window_frames, 80),
                 detail_w.reshape(b * n, 3, 80),
-                emotion,
+                emo_rows,
                 return_attention=return_attention,
                 deterministic=deterministic)
             raw = jnp.swapaxes(
@@ -406,13 +413,20 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                 log_mel, g.reshape(b, -1)[..., None], axis=1)
             windows = windows.reshape(b, n, w_frames, log_mel.shape[-1])
             mel_w, detail_w = window_features(windows)
-            # emotion rows are per-utterance; the attention module runs
-            # its emotion branch at B rows and repeats across each
-            # utterance's n windows internally
+            # emotion rows are per-utterance; at inference the attention
+            # module runs its emotion branch at B rows and repeats across
+            # each utterance's n windows. In TRAINING mode the rows are
+            # repeated here instead, so each window draws independent
+            # dropout masks — sharing one realization across n windows
+            # would weaken the emotion branch's regularization and zero
+            # its intra-utterance variation under the velocity loss
+            # (matches the reference, which always ran B*n rows).
+            emo_rows = emotion if deterministic else jnp.repeat(
+                emotion, n, axis=0)
             out = attention(
                 mel_w.reshape(b * n, self.window_frames, 80),
                 detail_w.reshape(b * n, 3, 80),
-                emotion,
+                emo_rows,
                 return_attention=return_attention,
                 deterministic=deterministic)
             raw = jnp.swapaxes(

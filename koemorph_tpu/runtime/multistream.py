@@ -32,10 +32,12 @@ sessions instead of all S every K frames. Each cohort's predicate is
 still a scalar (one ``lax.cond`` per cohort, unrolled at trace time), so
 the heavy branch stays a true branch — the refresh load just moves from
 one giant spike every K frames to a small constant per step. That spike
-was the capacity wall (and the HBM peak): flattening it is what lifts
-one chip from ~384 to >1000 concurrent sessions (docs/performance.md).
-Phase-shifted lanes remain exactly a dedicated engine whose clock
-started at the cohort's phase (pinned by TestRefreshCohorts).
+was the capacity wall (and the HBM peak): flattening it lifted one
+chip's measured real-time capacity from 384 to 640 sessions
+(docs/performance.md — 768 misses the 33 ms budget). Lane ``l`` belongs
+to cohort ``l % G``; phase-shifted lanes remain exactly a dedicated
+engine whose clock started at the cohort's phase (pinned by
+TestRefreshCohorts).
 """
 
 from __future__ import annotations
@@ -165,27 +167,56 @@ class MultiStreamInference:
         """Step over G static cohort slices: one scalar-predicate vstep per
         cohort (unrolled at trace time), outputs and lane states
         re-concatenated; the (G,) clock is carried separately from the
-        lane-batched leaves."""
+        lane-batched leaves.
+
+        Cohort membership is ``lane % G`` — chosen so cohort slices are
+        DEVICE-LOCAL under any mesh: the lane axis is block-sharded over
+        the mesh's ``D`` devices, and a contiguous global slice of S/G
+        lanes would span a device *subset*, forcing GSPMD to reshard
+        every cohort's states each step (measured on the virtual
+        8-device mesh before this layout: 75 collective-permutes + 30
+        all-gathers per step). Viewing each leaf as ``(D, lpc, G, ...)``
+        — a shape-only change, sharded (mesh-axis, None, None, ...) —
+        cohort ``c`` is the local index ``c`` on the last cohort axis of
+        EVERY device's block, so slice, vstep, and reassembly all stay
+        on-device (zero collectives, pinned by compiled-HLO count in
+        tests/runtime/test_multistream.py). Because ``lane % G`` is
+        independent of D, mesh and single-device servers assign
+        identical phases lane-for-lane."""
         g, n = self.refresh_cohorts, self.n_sessions
-        spc = n // g
+        d = 1 if self.mesh is None else int(self.mesh.devices.shape[0])
+        per_dev = n // d
+        lpc = per_dev // g           # lanes per cohort per device
 
         def sstep(params, states, hops):
             clocks = states.frame_count
             dummy = states.replace(
                 frame_count=jnp.zeros((n,), jnp.int32))
+
+            def take(x, c):          # device-local rows of cohort c
+                v = x.reshape((d, lpc, g) + x.shape[1:])[:, :, c]
+                return v.reshape((d * lpc,) + x.shape[1:])
+
+            def view_c(x):           # (d*lpc, ...) -> (d, lpc, 1, ...)
+                return x.reshape((d, lpc, 1) + x.shape[1:])
+
+            def unview(parts):       # G x (d, lpc, 1, ...) -> (n, ...)
+                full = jnp.concatenate(parts, axis=2)
+                return full.reshape((n,) + full.shape[3:])
+
             outs, lanes, new_clocks = [], [], []
             for c in range(g):
-                sl = slice(c * spc, (c + 1) * spc)
                 st_c = jax.tree_util.tree_map(
-                    lambda x: x[sl], dummy).replace(frame_count=clocks[c])
-                out_c, new_c = self._vstep(params, st_c, hops[sl])
-                outs.append(out_c["blendshapes"])
+                    lambda x, c=c: take(x, c),
+                    dummy).replace(frame_count=clocks[c])
+                out_c, new_c = self._vstep(params, st_c, take(hops, c))
+                outs.append(view_c(out_c["blendshapes"]))
                 new_clocks.append(new_c.frame_count)
                 lanes.append(new_c.replace(
-                    frame_count=jnp.zeros((spc,), jnp.int32)))
+                    frame_count=jnp.zeros((d * lpc,), jnp.int32)))
             merged = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *lanes)
-            return ({"blendshapes": jnp.concatenate(outs, axis=0)},
+                lambda *xs: unview([view_c(x) for x in xs]), *lanes)
+            return ({"blendshapes": unview(outs)},
                     merged.replace(frame_count=jnp.stack(new_clocks)))
 
         return sstep

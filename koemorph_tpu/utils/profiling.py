@@ -18,7 +18,63 @@ import jax
 import numpy as np
 
 __all__ = ["FrameTimer", "benchmark", "trace", "rtf_report",
-           "fetch_scalar", "measure_rtt"]
+           "fetch_scalar", "measure_rtt", "scan_timed"]
+
+
+def _tree_sum(out):
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    return sum(jnp.sum(jnp.asarray(leaf, jnp.float32)) for leaf in leaves)
+
+
+def scan_timed(fn, args, *, rtt: float, iters: int = 8, reps: int = 3,
+               perturb_arg: int = 0):
+    """Time ``fn(*args)`` amortized over ``iters`` scan steps in one
+    program — the canonical tunnel-safe timing harness (the profiling
+    scripts import this instead of keeping copies, same policy as
+    :func:`fetch_scalar`). The carry feeds a 1e-12 perturbation into one
+    input so XLA cannot hoist the body out of the loop; the returned sum
+    reduces over ALL outputs so dead-code elimination cannot delete any
+    (the round-2 trap). Returns ``(ms_per_iter, flops)``.
+
+    FLOPs come from XLA cost analysis, which counts a ``lax.scan`` body
+    ONCE regardless of trip count, so the whole-program figure ~= one
+    iteration's — do NOT divide by ``iters`` (the round-3 saturation
+    sweep was first read 16x low by dividing)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(*a0):
+        def step(carry, _):
+            a = list(a0)
+            a[perturb_arg] = a[perturb_arg] + 1e-12 * carry
+            out = fn(*a)
+            return _tree_sum(out), None
+
+        total, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=iters)
+        return total
+
+    compiled = run.lower(*args).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    fetch_scalar(run(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch_scalar(run(*args))
+        best = min(best, time.perf_counter() - t0)
+    ms = max(best - rtt, 0.0) / iters * 1e3
+    return ms, flops
 
 
 def fetch_scalar(x) -> float:

@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -35,47 +34,9 @@ from koemorph_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E4
 enable_persistent_cache()
 
 from koemorph_tpu.utils.profiling import (  # noqa: E402
-    fetch_scalar as _fetch,
     measure_rtt,
+    scan_timed,
 )
-
-
-def _tree_sum(out):
-    leaves = jax.tree_util.tree_leaves(out)
-    return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in leaves)
-
-
-def scan_timed(fn, args, *, rtt: float, iters: int = 8, reps: int = 3,
-               perturb_arg: int = 0):
-    """Same contract as scripts/profile_egemaps.py:scan_timed."""
-
-    @jax.jit
-    def run(*args):
-        def step(carry, _):
-            a = list(args)
-            a[perturb_arg] = a[perturb_arg] + 1e-12 * carry
-            out = fn(*a)
-            return _tree_sum(out), None
-
-        total, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=iters)
-        return total
-
-    compiled = run.lower(*args).compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-    except Exception:
-        flops = 0.0
-    _fetch(run(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _fetch(run(*args))
-        best = min(best, time.perf_counter() - t0)
-    ms = max(best - rtt, 0.0) / iters * 1e3
-    return ms, flops
 
 
 def main() -> int:

@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -34,53 +33,9 @@ enable_persistent_cache()
 
 
 from koemorph_tpu.utils.profiling import (  # noqa: E402
-    fetch_scalar as _fetch,
     measure_rtt,
+    scan_timed,
 )
-
-
-def _tree_sum(out):
-    leaves = jax.tree_util.tree_leaves(out)
-    return sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in leaves)
-
-
-def scan_timed(fn, args, *, rtt: float, iters: int = 8, reps: int = 3,
-               perturb_arg: int = 0):
-    """Time ``fn(*args)`` amortized over ``iters`` scan steps in one
-    program. The carry feeds a 1e-12 perturbation into one input so XLA
-    cannot hoist the body out of the loop. Returns (ms_per_iter, cost)."""
-
-    @jax.jit
-    def run(*args):
-        def step(carry, _):
-            a = list(args)
-            a[perturb_arg] = a[perturb_arg] + 1e-12 * carry
-            out = fn(*a)
-            return _tree_sum(out), None
-
-        total, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=iters)
-        return total
-
-    lowered = run.lower(*args)
-    compiled = lowered.compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        # XLA cost analysis counts a lax.scan body ONCE regardless of trip
-        # count, so the whole-program flops ~= one iteration's flops (the
-        # round-3 saturation sweep was first read 16x low by dividing).
-        flops = float(cost.get("flops", 0.0))
-    except Exception:
-        flops = 0.0
-    _fetch(run(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _fetch(run(*args))
-        best = min(best, time.perf_counter() - t0)
-    ms = max(best - rtt, 0.0) / iters * 1e3
-    return ms, flops
 
 
 def main() -> None:

@@ -171,6 +171,43 @@ class TestSequentialDualStream:
         n_out = out["blendshapes"].shape[1]
         assert out["mel_attention_weights"].shape[:2] == (1, n_out)
 
+    def test_training_dropout_independent_per_window(self):
+        """In training mode each window must draw its own dropout masks:
+        the per-utterance emotion dedup repeats rows BEFORE the attention
+        module when deterministic=False, so identical window inputs still
+        produce distinct stochastic outputs (sharing one realization
+        across windows would zero intra-utterance expression variation
+        under the velocity loss). Constant audio makes every window's mel
+        identical, isolating the dropout stochastics (NOT silent audio:
+        a zero signal zeroes the emotion branch's relu activations, and
+        dropout acting on zeros is invisible)."""
+        from koemorph_tpu.blendshapes import EXPRESSION_INDICES
+
+        mod = SequentialDualStreamModel(
+            dropout=0.5, emotion_backend="basic",
+            mel_sequence_length=self.WINDOW, stride_frames=4)
+        audio = jnp.full((1, 2 * SR), 0.1, jnp.float32)
+        params = mod.init(jax.random.key(0), audio)
+
+        # eval mode: identical windows -> identical rows (control)
+        bs_eval = np.asarray(mod.apply(
+            params, audio, deterministic=True)["blendshapes"])[0]
+        assert bs_eval.shape[0] > 2
+        np.testing.assert_allclose(bs_eval, bs_eval[:1].repeat(
+            bs_eval.shape[0], axis=0), atol=1e-6)
+
+        # training mode: the EMA smooths across windows, so compare the
+        # pre-smoothing signal indirectly via row-to-row deltas being
+        # nonzero for the expression stream
+        bs_train = np.asarray(mod.apply(
+            params, audio, deterministic=False,
+            rngs={"dropout": jax.random.key(7)})["blendshapes"])[0]
+        expr = bs_train[:, np.asarray(EXPRESSION_INDICES)]
+        deltas = np.abs(np.diff(expr, axis=0)).max()
+        assert deltas > 1e-6, (
+            "expression rows identical across windows in training mode: "
+            "dropout masks are being shared across the window batch")
+
     def test_smoothing_reduces_jitter(self, audio_batch):
         """Smoothed sequence has lower frame-to-frame variation than raw."""
         mod, params = self._make()

@@ -256,27 +256,60 @@ class TestRefreshCohorts:
             server.step(audio[:, i * hop:(i + 1) * hop]))
             for i in range(n_frames)])           # (T, S, 52)
 
-        spc = n_sessions // g
         for s in range(n_sessions):
             single = StreamingInference(params, TINY)
             single.state = single.state.replace(
-                frame_count=jnp.asarray(int(phases[s // spc]), jnp.int32))
+                frame_count=jnp.asarray(int(phases[s % g]), jnp.int32))
             frames = np.stack(single.process_audio(audio[s]))
             np.testing.assert_allclose(
                 batched[:, s], frames, atol=1e-5, rtol=0,
-                err_msg=f"lane {s} (cohort {s // spc}) diverged")
+                err_msg=f"lane {s} (cohort {s % g}) diverged")
 
-    def test_cohort_one_equals_legacy(self):
+    def test_cohort_machinery_with_equal_phases_equals_legacy(self):
+        """Force both cohorts' clocks to phase 0: the cohort step's
+        slice/vstep/reassemble machinery must then reproduce the legacy
+        shared-clock server exactly (every lane refreshes together)."""
         hop = TINY.hop_length
         params = tiny_params()
         audio = np.stack([_speech_like(4 * hop, seed=140 + s)
-                          for s in range(2)])
-        a = MultiStreamInference(params, TINY, 2)
-        b = MultiStreamInference(params, TINY, 2, refresh_cohorts=1)
+                          for s in range(4)])
+        a = MultiStreamInference(params, TINY, 4)
+        b = MultiStreamInference(params, TINY, 4, refresh_cohorts=2)
+        b.states = b.states.replace(
+            frame_count=jnp.zeros((2,), jnp.int32))
         for i in range(4):
             chunk = audio[:, i * hop:(i + 1) * hop]
-            np.testing.assert_array_equal(np.asarray(a.step(chunk)),
-                                          np.asarray(b.step(chunk)))
+            np.testing.assert_allclose(
+                np.asarray(a.step(chunk)), np.asarray(b.step(chunk)),
+                atol=1e-6, rtol=0, err_msg=f"frame {i}")
+
+    def test_cohort_step_has_zero_collectives_under_mesh(self):
+        """The lane%G cohort layout keeps every cohort slice device-local;
+        a contiguous-slice layout measured 75 collective-permutes + 30
+        all-gathers per step on this same mesh."""
+        from koemorph_tpu.parallel.mesh import make_mesh
+
+        params = tiny_params()
+        server = MultiStreamInference(params, TINY, 16,
+                                      refresh_cohorts=2, mesh=make_mesh())
+        hops = server._put_hops(
+            jnp.zeros((16, TINY.hop_length), jnp.float32))
+        compiled = jax.jit(server._sstep).lower(
+            server.params, server.states, hops).compile()
+        hlo = compiled.as_text()
+        # the contiguous-slice layout's resharding signature was 75
+        # collective-permutes + 30 all-to-alls + 30 state-sized
+        # all-gathers per step
+        for op in ("collective-permute", "all-to-all", "all-reduce"):
+            assert hlo.count(op) == 0, f"{op} in cohort step"
+        # remaining all-gathers must all feed XLA fft ops: the CPU-only
+        # stft dispatch (ops/stft platform_dependent) uses jnp.fft, which
+        # GSPMD cannot partition; the TPU path is a matmul DFT with no
+        # fft op at all. Anything else gathering is a layout regression.
+        lines = [l.strip()[:160] for l in hlo.splitlines()
+                 if "all-gather" in l]
+        n_fft = hlo.count("fft(%all-gather")
+        assert hlo.count("all-gather(") == n_fft, "\n".join(lines)
 
     def test_cohorts_with_mesh(self):
         from koemorph_tpu.parallel.mesh import make_mesh
