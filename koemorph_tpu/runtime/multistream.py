@@ -164,10 +164,9 @@ class MultiStreamInference:
         return batched.replace(frame_count=self._init_clock())
 
     def _make_cohort_step(self):
-        """Step over G static cohort slices: one scalar-predicate vstep per
-        cohort (unrolled at trace time), outputs and lane states
-        re-concatenated; the (G,) clock is carried separately from the
-        lane-batched leaves.
+        """Step with per-cohort emotion refresh: one scalar-predicate
+        refresh ``lax.cond`` per cohort (unrolled at trace time), the
+        (G,) clock carried separately from the lane-batched leaves.
 
         Cohort membership is ``lane % G`` — chosen so cohort slices are
         DEVICE-LOCAL under any mesh: the lane axis is block-sharded over
@@ -182,42 +181,93 @@ class MultiStreamInference:
         on-device (zero collectives, pinned by compiled-HLO count in
         tests/runtime/test_multistream.py). Because ``lane % G`` is
         independent of D, mesh and single-device servers assign
-        identical phases lane-for-lane."""
+        identical phases lane-for-lane.
+
+        Only the REFRESH is per-cohort. The base work (ring/mel update,
+        attention, EMA) runs over ALL lanes in single vmapped calls —
+        fragmenting it into G small-batch calls measured 24.9 ms/step at
+        S=640 where base(640)+refresh(80) is ~11 ms (the small-batch
+        GEMMs and G x kernel launches ate the difference)."""
+        from koemorph_tpu.runtime.streaming import (
+            StreamState,
+            _refresh_tail_len,
+            _stream_post,
+            _stream_pre,
+            _stream_refresh,
+        )
+
         g, n = self.refresh_cohorts, self.n_sessions
         d = 1 if self.mesh is None else int(self.mesh.devices.shape[0])
         per_dev = n // d
         lpc = per_dev // g           # lanes per cohort per device
+        cfg = self.cfg
+        tail_len = _refresh_tail_len(cfg)
+        axes = self._state_axes
+
+        vpre = jax.vmap(lambda s, a: _stream_pre(s, a, cfg),
+                        in_axes=(axes, 0))
+
+        def refresh_lane(params, fc, er, lr, lc, tail):
+            pseudo = StreamState(
+                audio_ring=jnp.zeros((0,), jnp.float32),
+                mel_db=jnp.zeros((0, 1), jnp.float32),
+                emotion_raw=er, frame_count=fc, temporal=None,
+                lld_ring=lr, lld_carry=lc)
+            return _stream_refresh(params, pseudo, tail, cfg)
+
+        vrefresh = jax.vmap(refresh_lane, in_axes=(None, None, 0, 0, 0, 0))
+        vpost = jax.vmap(
+            lambda p, mel, det, er, temp: _stream_post(
+                p, mel, det, er, temp, cfg),
+            in_axes=(None, 0, 0, 0, 0))
+
+        def take(x, c):              # device-local rows of cohort c
+            v = x.reshape((d, lpc, g) + x.shape[1:])[:, :, c]
+            return v.reshape((d * lpc,) + x.shape[1:])
+
+        def unview(parts):           # G x (d*lpc, ...) -> (n, ...)
+            stacked = jnp.stack(
+                [p.reshape((d, lpc) + p.shape[1:]) for p in parts], axis=2)
+            return stacked.reshape((n,) + stacked.shape[3:])
+
+        def merge(parts):
+            """Combine per-cohort pytrees back into full-lane trees."""
+            if jax.tree_util.tree_leaves(parts[0]) == []:
+                return parts[0]      # all-None subtree (no lld state)
+            return jax.tree_util.tree_map(
+                lambda *xs: unview(list(xs)), *parts)
 
         def sstep(params, states, hops):
-            clocks = states.frame_count
-            dummy = states.replace(
-                frame_count=jnp.zeros((n,), jnp.int32))
+            clocks = states.frame_count                       # (G,)
+            scalar_state = states.replace(
+                frame_count=jnp.zeros((), jnp.int32))
+            ring, mel_db, mel, detail = vpre(scalar_state, hops)
+            tails = ring[:, -tail_len:]
 
-            def take(x, c):          # device-local rows of cohort c
-                v = x.reshape((d, lpc, g) + x.shape[1:])[:, :, c]
-                return v.reshape((d * lpc,) + x.shape[1:])
-
-            def view_c(x):           # (d*lpc, ...) -> (d, lpc, 1, ...)
-                return x.reshape((d, lpc, 1) + x.shape[1:])
-
-            def unview(parts):       # G x (d, lpc, 1, ...) -> (n, ...)
-                full = jnp.concatenate(parts, axis=2)
-                return full.reshape((n,) + full.shape[3:])
-
-            outs, lanes, new_clocks = [], [], []
+            ers, lrs, lcs = [], [], []
             for c in range(g):
-                st_c = jax.tree_util.tree_map(
-                    lambda x, c=c: take(x, c),
-                    dummy).replace(frame_count=clocks[c])
-                out_c, new_c = self._vstep(params, st_c, take(hops, c))
-                outs.append(view_c(out_c["blendshapes"]))
-                new_clocks.append(new_c.frame_count)
-                lanes.append(new_c.replace(
-                    frame_count=jnp.zeros((d * lpc,), jnp.int32)))
-            merged = jax.tree_util.tree_map(
-                lambda *xs: unview([view_c(x) for x in xs]), *lanes)
-            return ({"blendshapes": unview(outs)},
-                    merged.replace(frame_count=jnp.stack(new_clocks)))
+                er, lr, lc = vrefresh(
+                    params, clocks[c],
+                    take(states.emotion_raw, c),
+                    jax.tree_util.tree_map(
+                        lambda x, c=c: take(x, c), states.lld_ring),
+                    jax.tree_util.tree_map(
+                        lambda x, c=c: take(x, c), states.lld_carry),
+                    take(tails, c))
+                ers.append(er)
+                lrs.append(lr)
+                lcs.append(lc)
+            emotion_raw = unview(ers)
+            lld_ring = merge(lrs)
+            lld_carry = merge(lcs)
+
+            out, temporal = vpost(params, mel, detail, emotion_raw,
+                                  states.temporal)
+            new_state = StreamState(
+                audio_ring=ring, mel_db=mel_db, emotion_raw=emotion_raw,
+                frame_count=clocks + 1, temporal=temporal,
+                lld_ring=lld_ring, lld_carry=lld_carry)
+            return out, new_state
 
         return sstep
 

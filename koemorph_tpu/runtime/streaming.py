@@ -330,6 +330,25 @@ def stream_frame(
             f"cfg.emotion_update_frames={cfg.emotion_update_frames}); "
             "set the cadence in StreamingConfig instead")
 
+    ring, mel_db, mel, detail = _stream_pre(state, hop_audio, cfg)
+    emotion_raw, lld_ring, lld_carry = _stream_refresh(
+        params, state, ring, cfg, update_every)
+    result, temporal = _stream_post(params, mel, detail, emotion_raw,
+                                    state.temporal, cfg)
+    new_state = StreamState(
+        audio_ring=ring, mel_db=mel_db, emotion_raw=emotion_raw,
+        frame_count=state.frame_count + 1, temporal=temporal,
+        lld_ring=lld_ring, lld_carry=lld_carry)
+    return result, new_state
+
+
+def _stream_pre(state: StreamState, hop_audio: jnp.ndarray,
+                cfg: StreamingConfig):
+    """Steps 1-3 of the frame: ring shift, one new mel row, per-window
+    ref=max normalization. Pure in the per-lane state — the multi-session
+    server vmaps this over ALL lanes in one call regardless of cohort
+    structure (multistream.py)."""
+    hop = cfg.hop_length
     # 1. shift-register audio ring (one contiguous HBM copy)
     ring = jnp.concatenate([state.audio_ring[hop:], hop_audio])
 
@@ -342,9 +361,32 @@ def stream_frame(
     norm = (jnp.maximum(mel_db - wmax, -80.0) + 80.0) / 80.0
     mel = norm[None, : cfg.window_frames, :]         # (1, W, n_mels)
     detail = norm[None, -3:, :]                      # (1, 3, n_mels)
+    return ring, mel_db, mel, detail
 
-    # 4. emotion refresh every K frames (lax.cond: heavy branch only runs
-    #    on refresh frames)
+
+def _refresh_tail_len(cfg: StreamingConfig) -> int:
+    """Samples of post-hop ring tail the refresh actually reads — the
+    multi-session cohort step slices ONLY this tail per lane instead of
+    the whole 20 s ring (multistream.py)."""
+    if cfg.use_lld_ring:
+        ecfg = cfg.egemaps_config
+        return (cfg.lld_block_rows - 1) * ecfg.hop_length + 512
+    return (int(cfg.emotion_context_s * cfg.sample_rate)
+            + cfg.emotion_margin_samples)
+
+
+def _stream_refresh(params: dict, state: StreamState, ring: jnp.ndarray,
+                    cfg: StreamingConfig,
+                    update_every: jnp.ndarray | int | None = None):
+    """Step 4: the emotion refresh ``lax.cond`` (heavy branch only runs on
+    refresh frames). ``ring`` is the POST-hop audio ring from
+    :func:`_stream_pre` — or any suffix of it at least
+    ``_refresh_tail_len(cfg)`` samples long (the refresh only reads that
+    tail, and reads it relative to the END). Only ``frame_count``,
+    ``emotion_raw``, ``lld_ring`` and ``lld_carry`` of ``state`` are
+    consulted. Returns (emotion_raw, lld_ring, lld_carry)."""
+    if update_every is None:
+        update_every = cfg.emotion_update_frames
     update_every = jnp.asarray(update_every, jnp.int32)
     do_refresh = jnp.logical_and(
         update_every > 0,
@@ -398,24 +440,23 @@ def stream_frame(
         emotion_raw = jax.lax.cond(do_refresh, refresh,
                                    lambda _: state.emotion_raw, None)
         lld_ring, lld_carry = state.lld_ring, state.lld_carry
+    return emotion_raw, lld_ring, lld_carry
 
-    # 5. decode: emotion projection (trained Dense) + dual-stream attention
+
+def _stream_post(params: dict, mel: jnp.ndarray, detail: jnp.ndarray,
+                 emotion_raw: jnp.ndarray, temporal: TemporalState,
+                 cfg: StreamingConfig):
+    """Steps 5-6: emotion projection + dual-stream attention + EMA.
+    Returns (result dict, new TemporalState)."""
     proj = params["emotion_projection"]
     emotion = emotion_raw @ proj["kernel"] + proj["bias"]   # (d_model,)
     out = cfg.attention.apply(
         {"params": params["dual_stream_attention"]},
         mel, detail, emotion[None, :], deterministic=True)
 
-    # 6. EMA smoothing with the trained alpha
     alpha = jax.nn.sigmoid(params["smoothing_alpha"])
-    smoothed, temporal = _ema_step(out["blendshapes"], state.temporal, alpha)
-
-    new_state = StreamState(
-        audio_ring=ring, mel_db=mel_db, emotion_raw=emotion_raw,
-        frame_count=state.frame_count + 1, temporal=temporal,
-        lld_ring=lld_ring, lld_carry=lld_carry)
-    result = {"blendshapes": smoothed[0]}
-    return result, new_state
+    smoothed, temporal = _ema_step(out["blendshapes"], temporal, alpha)
+    return {"blendshapes": smoothed[0]}, temporal
 
 
 class StreamingInference:
