@@ -46,6 +46,18 @@ class KoeMorphLossConfig:
     smoothness_weight: float = 0.1
     landmark_weight: float = 0.3
     velocity_weight: float = 0.05
+    # Active-channel emphasis: elements whose TARGET exceeds
+    # ``active_threshold`` get ``active_weight``x weight in the MSE/L1
+    # terms (weights renormalized to mean 1 so loss magnitudes stay
+    # comparable across settings). With sparse mocap (~48 near-zero
+    # channels) the unweighted mean is dominated by inactive elements,
+    # which biases the operating point toward under-activation — the
+    # recall-vs-precision knob measured in docs/training_report.md's
+    # recall section. 1.0 = reference behavior (plain means; the
+    # reference's analogous emphasis is the mouth-group weighting inside
+    # its perceptual loss, src/model/losses.py:294-377).
+    active_weight: float = 1.0
+    active_threshold: float = 0.1
     eps: float = 1e-8
 
 
@@ -109,12 +121,20 @@ def koemorph_loss(
     losses: dict[str, jnp.ndarray] = {}
     metrics: dict[str, jnp.ndarray] = {}
 
+    if c.active_weight != 1.0:
+        w = 1.0 + (c.active_weight - 1.0) * (
+            target > c.active_threshold).astype(pred.dtype)
+        w = w / (jnp.mean(w) + c.eps)
+    else:
+        w = None
     if c.mse_weight > 0:
-        mse = jnp.mean((pred - target) ** 2)
+        mse = jnp.mean((pred - target) ** 2 if w is None
+                       else w * (pred - target) ** 2)
         losses["mse"] = c.mse_weight * mse
         metrics["mse"] = mse
     if c.l1_weight > 0:
-        l1 = jnp.mean(jnp.abs(pred - target))
+        l1 = jnp.mean(jnp.abs(pred - target) if w is None
+                      else w * jnp.abs(pred - target))
         losses["l1"] = c.l1_weight * l1
         metrics["l1"] = l1
     if c.perceptual_weight > 0:

@@ -8,12 +8,18 @@ src/features/opensmile_extractor.py:227-235: eGeMAPSv02 Functionals over a
   functionals -> (.., 88)
 
 The 88 feature *names* follow the eGeMAPSv02 Functionals layout (Eyben et
-al., "The Geneva Minimalistic Acoustic Parameter Set", IEEE TAC 2016).
-Numerical parity with OpenSMILE is not claimed — formant amplitudes and the
-auditory loudness use documented proxies — but each feature is behaviorally
-validated (F0 of a sine, loudness monotonicity, jitter/shimmer sensitivity,
-HNR of tone vs noise) and the downstream model trains on these features
-end to end, which the reference's untrained pipeline never guaranteed.
+al., "The Geneva Minimalistic Acoustic Parameter Set", IEEE TAC 2016), and
+every feature implements the real eGeMAPS algorithm: per-period
+waveform-matched jitter, glottal-cycle peak shimmer, 26-band auditory
+loudness with equal-loudness contour weighting, complex-LPC-root formant
+bandwidths, harmonic-resolved formant amplitudes, HTK-mel MFCC 1-4. All 88
+rows carry analytic tests against closed-form ground truth
+(tests/ops/test_egemaps_analytic.py; per-row status in
+docs/egemaps_parity.md). Bit-parity with the OpenSMILE binary is not
+asserted in-image (no recorded goldens can ship from this machine —
+scripts/egemaps_goldens.py records them wherever `pip install opensmile`
+works); known structural deviations (YIN tracker vs SHS+Viterbi,
+half-window jitter granularity) are quantified in the parity doc.
 
 Everything jits; the hot path is: reshape framing (no TPU gathers) ->
 matmul DFT / Wiener-Khinchin autocorrelation (no TPU FFT) -> filterbank
@@ -32,7 +38,7 @@ import numpy as np
 
 from koemorph_tpu.ops.f0 import yin_core
 from koemorph_tpu.ops.gatherless import select_columns
-from koemorph_tpu.ops.mel import mel_filterbank
+from koemorph_tpu.ops.mel import hz_to_mel, mel_filterbank, mel_to_hz
 from koemorph_tpu.ops.window import hann_window
 
 # ---------------------------------------------------------------------------
@@ -249,6 +255,43 @@ def _segment_stats(mask, frame_period: float, eps=1e-8):
 # ---------------------------------------------------------------------------
 # LLD computation
 # ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def equal_loudness_weights(sample_rate: int = 16000, n_bands: int = 26,
+                           f_min: float = 20.0,
+                           f_max: Optional[float] = None) -> np.ndarray:
+    """Equal-loudness contour weights at the ``n_bands`` auditory-band
+    centre frequencies, normalized to 1 at 1 kHz. Shape ``(n_bands,)``.
+
+    eGeMAPS' loudness LLD weights each auditory band by an equal-loudness
+    contour before the Stevens-law intensity exponent (Eyben et al. 2016
+    section III-A: "auditory spectrum"; the reference consumes it through
+    OpenSMILE, src/features/opensmile_extractor.py:227-235). The contour
+    is the 40-phon approximation standard in auditory front ends (PLP
+    analysis, Hermansky 1990, eq. 2):
+
+        E(w) = ((w^2 + 56.8e6) * w^4)
+               / ((w^2 + 6.3e6)^2 * (w^2 + 0.38e9)),      w = 2*pi*f
+
+    which attenuates low frequencies (~-23 dB at 100 Hz relative to
+    1 kHz) and boosts the ear's 2-5 kHz sensitivity region (~+5 dB near
+    3.5 kHz). Band centres are the interior points of the HTK-mel grid
+    the 26-band loudness filterbank is built on, so weight ``b`` sits at
+    the peak of triangle ``b``.
+    """
+    f_max = sample_rate / 2.0 if f_max is None else f_max
+    grid = mel_to_hz(
+        np.linspace(hz_to_mel(f_min, htk=True), hz_to_mel(f_max, htk=True),
+                    n_bands + 2), htk=True)
+    centers = np.asarray(grid[1:-1], np.float64)
+
+    def contour(f):
+        w2 = (2.0 * np.pi * np.asarray(f, np.float64)) ** 2
+        return ((w2 + 56.8e6) * w2 ** 2
+                / ((w2 + 6.3e6) ** 2 * (w2 + 0.38e9)))
+
+    return (contour(centers) / contour(1000.0)).astype(np.float32)
+
 
 @functools.lru_cache(maxsize=4)
 def _mfcc_dct(n_mels: int = 26, n_out: int = 4) -> np.ndarray:
@@ -542,16 +585,19 @@ def _lld_math(
     freqs = np.linspace(0, sr / 2, n_bins).astype(np.float32)
     bin_hz = sr / cfg.n_fft
 
-    # --- loudness: 26-band auditory spectrum, per-band specific loudness
-    # (intensity^0.3, Stevens law) summed across bands — the eGeMAPS
-    # definition (Eyben et al. 2016 III-A: "loudness estimate from an
-    # auditory spectrum"; the per-band exponent is what distinguishes an
-    # auditory loudness from plain broadband energy^0.3) ---
+    # --- loudness: 26-band auditory spectrum, equal-loudness contour
+    # weighting per band, then per-band specific loudness (intensity^0.3,
+    # Stevens law) summed across bands — the eGeMAPS definition (Eyben et
+    # al. 2016 III-A: "loudness estimate from an auditory spectrum"; the
+    # per-band exponent is what distinguishes an auditory loudness from
+    # plain broadband energy^0.3, and the contour is what weights the
+    # ear's sensitivity into the absolute scale) ---
     fb = mel_filterbank(sr, cfg.n_fft, 26, 20.0, sr / 2, htk=True, norm=None)
     mel_energy = jnp.matmul(power, fb)
+    eq_w = jnp.asarray(equal_loudness_weights(sr, 26, 20.0, sr / 2.0))
     # the epsilon keeps gradients finite at zero energy (the model trains
     # through these features); its floor is subtracted so silence stays ~0
-    loudness = (jnp.sum(jnp.power(mel_energy + 1e-10, 0.3), axis=-1)
+    loudness = (jnp.sum(jnp.power(mel_energy * eq_w + 1e-10, 0.3), axis=-1)
                 - 26 * 1e-3)
 
     # --- spectral-flux predecessor (the only carry-dependent LLD) ---

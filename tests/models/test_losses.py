@@ -27,6 +27,28 @@ class TestKoeMorphLoss:
         # regularizers (sparsity/smoothness) still contribute
         assert float(total) > 0.0
 
+    def test_active_weight_emphasizes_active_elements(self, rng):
+        # same total error mass on an active vs an inactive element:
+        # with active_weight > 1, the active-element error must cost more
+        target = jnp.zeros((4, 52)).at[:, 3].set(0.5)   # channel 3 active
+        err_active = target.at[:, 3].add(-0.1)
+        err_inactive = target.at[:, 7].add(0.1)
+        cfg = KoeMorphLossConfig(active_weight=4.0, perceptual_weight=0.0,
+                                 landmark_weight=0.0, sparsity_weight=0.0,
+                                 smoothness_weight=0.0)
+        mse_a = float(koemorph_loss(err_active, target, config=cfg)[1]["mse"])
+        mse_i = float(koemorph_loss(err_inactive, target,
+                                    config=cfg)[1]["mse"])
+        assert mse_a > 2.0 * mse_i
+        # weights renormalize to mean 1: identical pred/target still 0,
+        # and active_weight=1.0 reproduces the plain mean exactly
+        assert float(koemorph_loss(target, target, config=cfg)[1]["mse"]) == 0
+        base = KoeMorphLossConfig(perceptual_weight=0.0, landmark_weight=0.0,
+                                  sparsity_weight=0.0, smoothness_weight=0.0)
+        np.testing.assert_allclose(
+            float(koemorph_loss(err_active, target, config=base)[1]["mse"]),
+            float(jnp.mean((err_active - target) ** 2)), rtol=1e-6)
+
     def test_loss_increases_with_error(self, rng):
         t = jnp.asarray(rng.uniform(0, 1, (4, 52)), jnp.float32)
         small = jnp.clip(t + 0.01, 0, 1)

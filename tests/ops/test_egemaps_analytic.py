@@ -156,15 +156,25 @@ class TestLoudnessAndLevel:
 
     def test_loudness_is_per_band_additive(self):
         # the auditory-spectrum definition sums specific loudness PER
-        # BAND: two equal tones in well-separated bands give ~2x one
-        # tone's loudness; a broadband-energy proxy would give only
-        # 2^0.3 = 1.23x. Distinguishes the real algorithm from the
-        # round-2 proxy.
+        # BAND: two tones in well-separated bands whose *weighted*
+        # intensities are equal give ~2x one tone's loudness; a
+        # broadband-energy proxy would give only 2^0.3 = 1.23x.
+        # Distinguishes the real algorithm from the round-2 proxy. The
+        # second tone's amplitude compensates the equal-loudness contour
+        # so both bands contribute equal specific loudness.
+        from koemorph_tpu.ops.egemaps import equal_loudness_weights
+
+        w = np.asarray(equal_loudness_weights(SR, 26, 20.0, SR / 2.0))
+        grid = _htk_band_grid()
+        centers = grid[1:-1]
+        w1 = w[int(np.argmin(np.abs(centers - 250.0)))]
+        w2 = w[int(np.argmin(np.abs(centers - 3500.0)))]
+        a2 = 0.3 * np.sqrt(w1 / w2)
         t = t_axis(2)
         one = feats(0.3 * np.sin(2 * np.pi * 250.0 * t))[
             IDX["loudness_sma3_amean"]]
         two = feats(0.3 * np.sin(2 * np.pi * 250.0 * t)
-                    + 0.3 * np.sin(2 * np.pi * 3500.0 * t))[
+                    + a2 * np.sin(2 * np.pi * 3500.0 * t))[
             IDX["loudness_sma3_amean"]]
         assert 1.6 < two / one < 2.4, two / one
 
@@ -309,3 +319,201 @@ class TestFormants:
     def test_constant_contour_stddevnorm_zero(self):
         f = feats(0.5 * np.sin(2 * np.pi * 220.0 * t_axis(3)))
         assert f[IDX["F1frequency_sma3nz_stddevNorm"]] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# independent numpy re-derivations (closed-form ground truth machinery)
+# ---------------------------------------------------------------------------
+
+def _htk_band_grid(n_bands: int = 26, f_min: float = 20.0,
+                   f_max: float = SR / 2.0) -> np.ndarray:
+    """The 26-band HTK-mel grid edges+centers, re-derived from the HTK
+    formula (2595 log10(1 + f/700)) independently of ops.mel."""
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    return to_hz(np.linspace(to_mel(f_min), to_mel(f_max), n_bands + 2))
+
+
+def _htk_filterbank(n_fft: int = 512, n_bands: int = 26) -> np.ndarray:
+    """(n_bins, n_bands) triangular HTK-mel filterbank, norm=None —
+    independent numpy re-derivation of the loudness/MFCC filterbank."""
+    grid = _htk_band_grid(n_bands)
+    freqs = np.linspace(0.0, SR / 2.0, n_fft // 2 + 1)
+    fb = np.zeros((len(freqs), n_bands))
+    for m in range(n_bands):
+        lo, c, hi = grid[m], grid[m + 1], grid[m + 2]
+        up = (freqs - lo) / (c - lo)
+        down = (hi - freqs) / (hi - c)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def _hermansky_contour(f: np.ndarray) -> np.ndarray:
+    """Equal-loudness 40-phon approximation (Hermansky 1990, eq. 2),
+    normalized to 1 at 1 kHz — the closed form the implementation must
+    match."""
+    def raw(f):
+        w2 = (2.0 * np.pi * np.asarray(f, np.float64)) ** 2
+        return ((w2 + 56.8e6) * w2 ** 2
+                / ((w2 + 6.3e6) ** 2 * (w2 + 0.38e9)))
+
+    return raw(f) / raw(1000.0)
+
+
+def _numpy_frames(x: np.ndarray, frame_length: int = 400,
+                  hop: int = 160) -> np.ndarray:
+    """Interior 25 ms spectral frames exactly as the pipeline cuts them:
+    512-sample YIN windows tiling at the hop, the 400-sample spectral
+    frame centered inside each (offset 56)."""
+    n_frames = 1 + (len(x) - 512) // hop
+    off = (512 - frame_length) // 2
+    return np.stack([x[t * hop + off: t * hop + off + frame_length]
+                     for t in range(n_frames)])
+
+
+def _comb_signal(secs: float = 2.0, f0: float = 100.0, amp: float = 0.3,
+                 seed: int = 3) -> np.ndarray:
+    """Harmonic comb periodic in exactly one 160-sample hop (f0 = 100 Hz
+    divides sr/hop), so EVERY analysis frame is sample-identical and all
+    LLD contours are constant: per-frame expectations become exact
+    whole-signal expectations (sma3 smoothing and ameans are identities
+    on constant contours)."""
+    rng = np.random.default_rng(seed)
+    t = t_axis(secs)
+    x = np.zeros(len(t))
+    for h in range(1, 79):                       # 100..7800 Hz
+        x += np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi))
+    return (amp / np.abs(x).max()) * x
+
+
+def _expected_mel_energy(x: np.ndarray) -> np.ndarray:
+    """(n_bands,) expected 26-band mel energies of the (constant) frame
+    grid of ``x``, via float64 numpy rfft — the definition the pipeline's
+    matmul-DFT path must reproduce."""
+    frames = _numpy_frames(x)
+    w = np.asarray(hann_window(400), np.float64)
+    power = np.abs(np.fft.rfft(frames * w, 512), dtype=np.float64) ** 2
+    return power.mean(axis=0) @ _htk_filterbank()
+
+
+from koemorph_tpu.ops.window import hann_window  # noqa: E402
+from koemorph_tpu.ops.egemaps import (  # noqa: E402
+    EgemapsConfig,
+    compute_llds,
+    equal_loudness_weights,
+)
+
+
+class TestEqualLoudnessContour:
+    def test_weights_match_hermansky_closed_form(self):
+        # the exported weights ARE the Hermansky 40-phon curve at the
+        # HTK band centres, normalized at 1 kHz
+        w = np.asarray(equal_loudness_weights(SR, 26, 20.0, SR / 2.0))
+        centers = _htk_band_grid()[1:-1]
+        want = _hermansky_contour(centers)
+        np.testing.assert_allclose(w, want, rtol=1e-5)
+        # contour shape: low frequencies strongly attenuated, 2-5 kHz
+        # boosted relative to 1 kHz (the ear's sensitivity region)
+        assert _hermansky_contour(np.asarray([100.0]))[0] < 0.01
+        assert _hermansky_contour(np.asarray([3500.0]))[0] > 2.0
+
+    def test_loudness_comb_exact(self):
+        # 100 Hz harmonic comb: every frame identical, so the loudness
+        # functional equals the single-frame closed form
+        #   sum_b (W_b * E_b + 1e-10)^0.3 - 26e-3
+        # with E_b re-derived through float64 numpy rfft + an
+        # independently built HTK filterbank.
+        x = _comb_signal()
+        mel_e = _expected_mel_energy(x)
+        w = _hermansky_contour(_htk_band_grid()[1:-1])
+        want = np.sum((w * mel_e + 1e-10) ** 0.3) - 26e-3
+        got = feats(x)[IDX["loudness_sma3_amean"]]
+        assert abs(got - want) < 0.02 * abs(want), (got, want)
+
+    def test_two_tone_contour_weighting(self):
+        # equal-amplitude tones: the contour must order loudness
+        # 100 Hz << 1 kHz < 3.5 kHz (without it, the mel bands' widths
+        # would order them roughly flat)
+        t = t_axis(2)
+        loud = {f: feats(0.3 * np.sin(2 * np.pi * f * t))[
+            IDX["loudness_sma3_amean"]] for f in (100.0, 1000.0, 3500.0)}
+        assert loud[100.0] < 0.35 * loud[1000.0], loud
+        assert loud[1000.0] < loud[3500.0], loud
+
+
+class TestMfccAnalytic:
+    def test_mfcc_comb_closed_form(self):
+        # known 26-band log-mel spectrum (derived in float64 numpy from
+        # the comb signal) -> MFCC 1-4 are the closed-form DCT-II
+        #   c_k = sqrt(2/26) * sum_m cos(pi k (2m+1)/52) * log(E_m)
+        x = _comb_signal()
+        log_mel = np.log(_expected_mel_energy(x) + 1e-10)
+        k = np.arange(1, 5)[:, None]
+        m = np.arange(26)[None, :]
+        dct = np.cos(np.pi * k * (2 * m + 1) / 52.0) * np.sqrt(2.0 / 26.0)
+        want = dct @ log_mel
+        f = feats(x)
+        got = np.array([f[IDX[f"mfcc{i}_sma3_amean"]] for i in (1, 2, 3, 4)])
+        np.testing.assert_allclose(got, want, atol=0.02)
+        # the comb is voiced (100 Hz F0): the V rows see the same
+        # constant contour
+        got_v = np.array([f[IDX[f"mfcc{i}V_sma3nz_amean"]]
+                          for i in (1, 2, 3, 4)])
+        np.testing.assert_allclose(got_v, want, atol=0.05)
+
+    def test_mfcc_amplitude_invariance_exact(self):
+        # scaling audio by 10 shifts every log-mel band by the SAME
+        # constant; DCT-II coefficients k>=1 of a constant are exactly
+        # zero, so MFCC 1-4 are amplitude-invariant in closed form
+        x = _comb_signal(amp=0.05)
+        fa, fb_ = feats(x), feats(10.0 * x)
+        for i in (1, 2, 3, 4):
+            a = fa[IDX[f"mfcc{i}_sma3_amean"]]
+            b = fb_[IDX[f"mfcc{i}_sma3_amean"]]
+            assert abs(a - b) < 2e-3, (i, a, b)
+        # ... while the loudness amean scales by 100^0.3 (Stevens law)
+        la = fa[IDX["loudness_sma3_amean"]]
+        lb = fb_[IDX["loudness_sma3_amean"]]
+        assert abs(lb / la - 100.0 ** 0.3) < 0.05 * 100.0 ** 0.3
+
+
+class TestSpectralFluxAnalytic:
+    def test_flux_contour_tone_step_exact(self):
+        # a tone stepping 500 -> 2000 Hz mid-signal: per-frame flux must
+        # equal the definition sum_k (|X_t(k)| - |X_{t-1}(k)|)^2 computed
+        # in float64 numpy over the same interior frame grid — near zero
+        # in the steady state, one sharp burst at the transition.
+        t = t_axis(2)
+        half = len(t) // 2
+        x = 0.4 * np.sin(2 * np.pi * 500.0 * t)
+        x[half:] = 0.4 * np.sin(2 * np.pi * 2000.0 * t[half:])
+        frames = _numpy_frames(x)
+        w = np.asarray(hann_window(400), np.float64)
+        mag = np.abs(np.fft.rfft(frames * w, 512)) + 1e-10
+        dmag = np.diff(mag, axis=0)
+        want = np.concatenate([[0.0], np.sum(dmag * dmag, axis=1)])
+
+        lld = compute_llds(jnp.asarray(x.astype(np.float32)),
+                           EgemapsConfig())
+        got = np.asarray(lld["spectral_flux"])
+        assert got.shape == want.shape
+        peak = want.max()
+        assert peak > 100.0                       # the step really bursts
+        np.testing.assert_allclose(got, want, atol=0.01 * peak)
+        # steady state is flat: everything 3+ frames from the step is
+        # tiny relative to the burst
+        step_frame = int(np.argmax(want))
+        steady = np.ones(len(want), bool)
+        steady[max(step_frame - 3, 0): step_frame + 4] = False
+        assert np.abs(got[steady]).max() < 0.01 * peak
+
+    def test_flux_functional_of_comb_is_zero(self):
+        # hop-periodic comb: identical frames -> flux identically zero,
+        # so amean and stddevNorm of the flux rows are exactly zero
+        f = feats(_comb_signal())
+        assert abs(f[IDX["spectralFlux_sma3_amean"]]) < 1e-3
+        assert abs(f[IDX["spectralFluxV_sma3nz_amean"]]) < 1e-3
