@@ -21,17 +21,23 @@ sequential_dual_stream_model.py:101-133):
    ``stop_gradient`` (reference detaches it,
    simplified_dual_stream_model.py:366).
 
-Known intentional deviation: the reference re-runs STFT per window with
-reflect padding at the window edges, so the first/last frame of each window
-differ slightly from the global STFT's interior frames (n_fft/2 = 512 <
-hop = 533, so at most those two frames). The global computation is the
-mathematically cleaner definition and is what the streaming runtime
-produces; ``exact_window_stft=True`` reproduces the reference behavior for
-parity testing.
+Window-edge exactness: the reference re-runs STFT per window with reflect
+padding at the window edges, so the first/last frame of each window differ
+from the global STFT's interior frames (n_fft/2 = 512 < hop = 533, so
+EXACTLY those two of the 257 rows). The global path therefore splices in
+the two reflect-padded edge frames per window, computed directly from
+gathered (n_fft,)-sample segments (2 extra DFT rows per window, ~1% more
+STFT FLOPs) — the default decode is bit-equivalent to the reference's
+per-window framing while still paying ONE global STFT for the 255 interior
+rows. ``exact_window_stft=True`` keeps the brute-force per-window STFT as
+the independent validation path. The streaming runtime intentionally keeps
+interior-frame (real-sample, causal) semantics for rows it emits
+incrementally — see runtime/streaming.py docstring for the bounded skew.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -215,6 +221,132 @@ def _ema_step(blendshapes: jnp.ndarray, state: TemporalState,
     return smoothed, new_state
 
 
+def _n_edge_frames(n_fft: int, hop: int) -> int:
+    """Frames at each window end whose reflect-padded support differs
+    from the global STFT: frame ``f`` reaches before the window start
+    while ``f * hop < n_fft // 2`` (symmetrically at the end)."""
+    return -(-(n_fft // 2) // hop)
+
+
+@functools.lru_cache(maxsize=8)
+def _edge_dft_matrices_np(n_fft: int, hop: int):
+    """Mirror + hann + real-DFT folded into per-edge-frame matrices.
+
+    Head frame ``f`` of a reflect-centered window reads sample offsets
+    ``t = f*hop - n_fft//2 + i`` relative to the window start; ``t < 0``
+    reflects to ``-t`` (librosa reflect, no edge repeat), so the frame is
+    a LINEAR map of the window's first ``span+1`` samples
+    (``span = (n_edge-1)*hop + n_fft//2``) — symmetrically for tail
+    frames about the window's last sample. Folding the mirror, the hann
+    window and the DFT basis into one ``(span+1, n_edge*n_bins)`` matrix
+    turns edge-frame extraction into a single MXU GEMM on the gathered
+    segments instead of materializing mirrored ``(…, n_fft)`` frames
+    (measured ~3x cheaper at flagship decode shapes —
+    docs/performance.md).
+
+    Returns ``(head_cos, head_sin, tail_cos, tail_sin)`` float32 arrays
+    of shape ``(span+1, n_edge*n_bins)``, accumulated in float64. Tail
+    columns are ordered by ascending window frame
+    ``W-n_edge+1 .. W``.
+    """
+    half = n_fft // 2
+    n_edge = _n_edge_frames(n_fft, hop)
+    span = (n_edge - 1) * hop + half
+    n_bins = half + 1
+    i = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * i * k / n_fft
+    win = (0.5 - 0.5 * np.cos(2.0 * np.pi
+                              * np.arange(n_fft) / n_fft))[:, None]
+    wc, ws = win * np.cos(ang), win * -np.sin(ang)   # (n_fft, n_bins)
+    out = []
+    for side in ("head", "tail"):
+        mc = np.zeros((span + 1, n_edge, n_bins))
+        ms = np.zeros_like(mc)
+        for f in range(n_edge):
+            if side == "head":
+                t = f * hop - half + np.arange(n_fft)
+                j = np.abs(t)                        # reflect about 0
+            else:
+                # ascending tail frames W-n_edge+1..W; frame W-fp has
+                # offset o = i - fp*hop - half + 1 about the LAST sample
+                fp = n_edge - 1 - f
+                o = np.arange(n_fft) - fp * hop - half + 1
+                j = span + np.where(o <= 0, o, -o)   # reflect about span
+            np.add.at(mc[:, f], j, wc)
+            np.add.at(ms[:, f], j, ws)
+        out.append(
+            (mc.reshape(span + 1, n_edge * n_bins).astype(np.float32),
+             ms.reshape(span + 1, n_edge * n_bins).astype(np.float32)))
+    (hc, hs), (tc, ts) = out
+    return hc, hs, tc, ts
+
+
+def _reflect_edge_rows(audio: jnp.ndarray, p, w_hop: int,
+                       n_fft: int, hop: int,
+                       fb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact reflect-padded log-mel dB rows of each window's two edges.
+
+    The reference STFTs every window separately with librosa's reflect
+    centering (sequential_dual_stream_model.py:101-133 via
+    simplified_dual_stream_model.py:184-216); only the first and last
+    ``n_edge = ceil(n_fft/2 / hop)`` frames of a window see reflected
+    samples (one frame per end at 30 fps where hop 533 >= 512; two at
+    60 fps where hop is 266) — every interior frame is identical to the
+    global STFT's. Edge frames are computed as one GEMM per side against
+    the folded mirror+hann+DFT matrices (:func:`_edge_dft_matrices_np`)
+    over gathered ``span+1``-sample segments.
+
+    Args:
+        audio: (B, L) signal (already padded to cover every window).
+        p: window start offsets in SAMPLES — a STATIC ``np.ndarray`` of
+            shape (n,) (fixed-stride grid: gathers lower to static
+            slices, measured ~3x faster than a dynamic gather) or a
+            traced (B, n) int32 array (the ``window_starts`` path).
+        w_hop: window length in samples (window_frames * hop).
+        n_fft: transform size (even, n_fft // 2 < w_hop).
+        hop: frame hop in samples.
+        fb: (n_fft//2+1, n_mels) mel filterbank.
+
+    Returns:
+        (head_db, tail_db): (B, n, n_edge, n_mels) raw dB rows for window
+        frames ``0..n_edge-1`` and ``W-n_edge+1..W``.
+    """
+    half = n_fft // 2
+    n_edge = _n_edge_frames(n_fft, hop)
+    span = (n_edge - 1) * hop + half     # real samples feeding one edge
+    b = audio.shape[0]
+    hc, hs, tc, ts = (jnp.asarray(m)
+                      for m in _edge_dft_matrices_np(n_fft, hop))
+
+    if isinstance(p, np.ndarray):        # static grid -> static gather
+        ar = np.arange(span + 1)
+        seg0 = jnp.take(audio, jnp.asarray(p[:, None] + ar), axis=1)
+        segw = jnp.take(
+            audio, jnp.asarray(p[:, None] + (w_hop - span - 1) + ar),
+            axis=1)
+        n = p.shape[0]
+    else:                                # traced starts -> dynamic gather
+        ar = jnp.arange(span + 1, dtype=p.dtype)
+        n = p.shape[1]
+
+        def gather(idx):
+            flat = jnp.take_along_axis(audio, idx.reshape(b, -1), axis=1)
+            return flat.reshape(b, n, span + 1)
+
+        seg0 = gather(p[..., None] + ar)
+        segw = gather(p[..., None] + (w_hop - span - 1) + ar)
+
+    def mel_rows(seg, c_m, s_m):
+        cr = jnp.matmul(seg, c_m, precision="highest")
+        si = jnp.matmul(seg, s_m, precision="highest")
+        power = (cr * cr + si * si).reshape(b, n, n_edge, half + 1)
+        melp = jnp.matmul(power, fb, precision="highest")
+        return 10.0 * jnp.log10(jnp.maximum(melp, 1e-10))
+
+    return mel_rows(seg0, hc, hs), mel_rows(segw, tc, ts)
+
+
 _EMA_MATMUL_MAX_T = 2048
 
 
@@ -267,6 +399,13 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
     decode_mode: str = "parallel"   # parallel | chunked ("scan" = chunked)
     window_chunk: int = 512         # windows per chunk in chunked mode
     exact_window_stft: bool = False  # reference-exact window-edge framing
+    # "reflect" (default): splice the reference's reflect-padded edge
+    # frames into the global-STFT windows — bit-equivalent to the
+    # per-window framing, passes the <=1e-3 e2e gate. "interior": skip
+    # the splice (every frame sees real neighbor samples); deviation vs
+    # the torch reference bounded <0.02 at the edges, measured faster —
+    # see docs/performance.md for the decode-throughput trade.
+    window_edge: str = "reflect"
 
     @property
     def window_frames(self) -> int:
@@ -300,6 +439,10 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
         b, audio_len = audio.shape
         hop = self.hop_length
         num_frames = audio_len // hop
+        if self.window_edge not in ("reflect", "interior"):
+            raise ValueError(
+                f"window_edge must be 'reflect' or 'interior', "
+                f"got {self.window_edge!r}")
         if window_starts is not None and self.exact_window_stft:
             raise ValueError(
                 "window_starts requires the global-STFT path "
@@ -349,7 +492,8 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
             # ---- global mel power, one STFT ----
             spec = stft_power(audio, n_fft=cfg.n_fft, hop_length=hop,
                               center=True, power=2.0)    # (B, T+1, bins)
-            mel_power = jnp.matmul(spec, cfg.filterbank(dtype=spec.dtype),
+            fb = cfg.filterbank(dtype=spec.dtype)
+            mel_power = jnp.matmul(spec, fb,
                                    precision="highest")   # (B, T+1, 80)
             log_mel = 10.0 * jnp.log10(jnp.maximum(mel_power, 1e-10))
 
@@ -377,6 +521,17 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                 g = jnp.asarray(start_idx[:, None]
                                 + np.arange(w_frames)[None, :])
                 windows = jnp.take(log_mel, g, axis=1)    # (B,n,257,80)
+                if self.window_edge == "reflect":
+                    # splice the reference's reflect-padded edge frames
+                    # (the first/last n_edge rows are the only ones that
+                    # differ from the global STFT — _reflect_edge_rows;
+                    # static offsets -> static gather)
+                    e0, ew = _reflect_edge_rows(
+                        audio, np.asarray(start_idx) * hop,
+                        self.window_frames * hop, cfg.n_fft, hop, fb)
+                    ne = e0.shape[2]
+                    windows = jnp.concatenate(
+                        [e0, windows[:, :, ne:-ne], ew], axis=2)
             mel_w, detail_w = window_features(windows)
             # emotion rows are per-utterance; at inference the attention
             # module runs its emotion branch at B rows and repeats across
@@ -412,6 +567,14 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
             windows = jnp.take_along_axis(
                 log_mel, g.reshape(b, -1)[..., None], axis=1)
             windows = windows.reshape(b, n, w_frames, log_mel.shape[-1])
+            if self.window_edge == "reflect":
+                # same reflect-edge splice as the fixed grid
+                e0, ew = _reflect_edge_rows(
+                    audio, ws * hop, self.window_frames * hop, cfg.n_fft,
+                    hop, fb)
+                ne = e0.shape[2]
+                windows = jnp.concatenate(
+                    [e0, windows[:, :, ne:-ne], ew], axis=2)
             mel_w, detail_w = window_features(windows)
             # emotion rows are per-utterance; at inference the attention
             # module runs its emotion branch at B rows and repeats across

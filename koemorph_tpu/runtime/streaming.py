@@ -25,8 +25,13 @@ HBM, and the per-frame step is ONE jitted function that:
 
 Streaming frame semantics: mel row ``t`` is the STFT frame centered at
 ``t*hop`` computed from real samples only (no reflect padding), so the
-stream runs one frame (~33 ms) behind the newest audio — the interior-frame
-definition the batch path uses (see models/dual_stream_model.py docstring).
+stream runs one frame (~33 ms) behind the newest audio. The batch decoder
+additionally splices the reference's reflect-padded window-edge frames
+(models/dual_stream_model.py ``_reflect_edge_rows``) — a causal stream
+cannot reproduce those (the reflection at the window's trailing edge uses
+samples that ARE the newest audio), so the batch/stream skew is bounded to
+the first/last ``ceil(n_fft/2 / hop)`` rows of the 257-row window, whose
+reflected halves the interior rows replace with real samples.
 
 Inherited train/serve skew (present in the reference too): training
 extracts the emotion vector over the training span (~the 8.5 s model

@@ -145,6 +145,24 @@ class TestServeCli:
         assert sorted({row["session"] for row in rows}) == [0, 1, 2, 3]
         assert all(len(row["blendshapes"]) == 52 for row in rows)
 
+    def test_replay_smoke_60fps(self, speech_wavs, tmp_path):
+        """--fps 60 serves the reference's 60 fps production mode
+        (dual_stream_60fps.yaml sizing: 512-frame mel window, hop 266,
+        ~18-frame refresh cadence) through the same CLI."""
+        out = tmp_path / "sessions.jsonl"
+        r = run(["scripts/serve.py", "--replay",
+                 *(str(p) for p in speech_wavs),
+                 "--sessions", "2", "--fps", "60",
+                 "--output", "file",
+                 "--output-file", str(out), "--no-realtime",
+                 "--max-frames", "4", "--cpu",
+                 "--emotion-backend", "basic",
+                 "--d-model", "32", "--num-heads", "2"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        assert len(rows) == 4 * 2
+        assert all(len(row["blendshapes"]) == 52 for row in rows)
+
     def test_listen_loopback(self, tmp_path):
         # receiver socket for the server's UDP output
         rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)

@@ -295,3 +295,88 @@ class TestInModelEmotion2Vec:
         gnorm = float(sum(jnp.sum(jnp.abs(x)) for x in
                           jax.tree_util.tree_leaves(g["emotion2vec"])))
         assert gnorm > 0.0
+
+
+class TestReflectEdgeSplice:
+    """The default global-STFT decode splices the reference's
+    reflect-padded window-edge frames (_reflect_edge_rows), so it must be
+    equal (to XLA fusion-order rounding, ~1e-9 observed) to the
+    brute-force per-window STFT path (exact_window_stft=True) — at
+    30 fps (hop 533 >= n_fft/2: one edge frame per end) and 60 fps
+    (hop 266: two edge frames per end)."""
+
+    @pytest.mark.parametrize("fps,window", [(30, 16), (60, 32)])
+    def test_global_equals_exact_window_stft(self, fps, window):
+        kw = dict(d_model=32, num_heads=2, mel_sequence_length=window,
+                  emotion_backend="basic", use_concatenation=False,
+                  target_fps=fps, dropout=0.0, stride_frames=3)
+        m_glob = SequentialDualStreamModel(**kw)
+        m_exact = SequentialDualStreamModel(**kw, exact_window_stft=True)
+        hop = m_glob.hop_length
+        audio = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, (window + 12) * hop)).astype(np.float32) * 0.1)
+        params = jax.jit(m_glob.init)(
+            jax.random.PRNGKey(0), audio)["params"]
+        og = jax.jit(lambda p, a: m_glob.apply(
+            {"params": p}, a, deterministic=True))(params, audio)
+        oe = jax.jit(lambda p, a: m_exact.apply(
+            {"params": p}, a, deterministic=True))(params, audio)
+        np.testing.assert_allclose(
+            np.asarray(og["blendshapes"]), np.asarray(oe["blendshapes"]),
+            atol=1e-6, rtol=1e-6)
+
+    def test_interior_mode_bounded_deviation(self):
+        """window_edge='interior' (the measured fast path) skips the
+        splice: it must differ from the reference-exact framing ONLY at
+        the edge rows, with output deviation small and bounded (<0.02,
+        the round-3 measured envelope) but nonzero (proving the flag
+        actually switches paths)."""
+        kw = dict(d_model=32, num_heads=2, mel_sequence_length=16,
+                  emotion_backend="basic", use_concatenation=False,
+                  target_fps=30, dropout=0.0, stride_frames=3)
+        m_int = SequentialDualStreamModel(**kw, window_edge="interior")
+        m_exact = SequentialDualStreamModel(**kw, exact_window_stft=True)
+        hop = m_int.hop_length
+        audio = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (1, 28 * hop)).astype(np.float32) * 0.1)
+        params = jax.jit(m_int.init)(jax.random.PRNGKey(0), audio)["params"]
+        oi = jax.jit(lambda p, a: m_int.apply(
+            {"params": p}, a, deterministic=True))(params, audio)
+        oe = jax.jit(lambda p, a: m_exact.apply(
+            {"params": p}, a, deterministic=True))(params, audio)
+        dev = float(np.abs(np.asarray(oi["blendshapes"])
+                           - np.asarray(oe["blendshapes"])).max())
+        assert 0.0 < dev < 0.02, dev
+
+    def test_window_edge_validated(self):
+        model = SequentialDualStreamModel(
+            d_model=32, num_heads=2, mel_sequence_length=16,
+            emotion_backend="basic", use_concatenation=False,
+            target_fps=30, dropout=0.0, window_edge="bogus")
+        audio = jnp.zeros((1, 20 * model.hop_length), jnp.float32)
+        with pytest.raises(ValueError, match="window_edge"):
+            jax.jit(model.init)(jax.random.PRNGKey(0), audio)
+
+    def test_window_starts_matches_grid(self):
+        """The traced-starts decode (the SP / adaptive-stride path) must
+        apply the same edge splice as the fixed grid."""
+        kw = dict(d_model=32, num_heads=2, mel_sequence_length=16,
+                  emotion_backend="basic", use_concatenation=False,
+                  target_fps=30, dropout=0.0, stride_frames=3)
+        model = SequentialDualStreamModel(**kw)
+        hop = model.hop_length
+        audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (1, 28 * hop)).astype(np.float32) * 0.1)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), audio)["params"]
+        grid = jax.jit(lambda p, a: model.apply(
+            {"params": p}, a, deterministic=True))(params, audio)
+        n_out = grid["blendshapes"].shape[1]
+        starts = jnp.asarray(
+            np.arange(n_out, dtype=np.int32) * 3)[None, :]
+        at = jax.jit(lambda p, a, s: model.apply(
+            {"params": p}, a, deterministic=True, window_starts=s))(
+            params, audio, starts)
+        np.testing.assert_allclose(
+            np.asarray(at["blendshapes"]),
+            np.asarray(grid["blendshapes"]), atol=1e-6, rtol=1e-6)

