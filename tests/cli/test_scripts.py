@@ -97,6 +97,24 @@ class TestCliSmoke:
         metrics = json.loads(r.stdout.strip().splitlines()[-1])
         assert "loss" in metrics["final_train_metrics"]
 
+    def test_reproduce_results_smoke(self, tmp_path):
+        """The pre-staged real-corpus reproduction recipe
+        (scripts/reproduce_results.py) must run its full train -> val ->
+        early-stop -> report pipeline on synthetic data, so the one
+        command that consumes a corpus the moment one appears stays
+        green. Smoke mode checks the pipeline, not accuracy."""
+        r = run(["scripts/reproduce_results.py", "--smoke", "--cpu",
+                 "--work-dir", str(tmp_path / "repro")], timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        assert summary["mode"] == "smoke"
+        assert np.isfinite(summary["mae"])
+        report = REPO / summary["report"]
+        assert report.exists()
+        text = report.read_text()
+        assert "NOT corpus results" in text
+        assert "0.028" in text          # the reference target is cited
+
     def test_integration_check(self, tmp_path):
         r = run(["scripts/integration_check.py", "--cpu",
                  "--seconds", "2"], timeout=560)
