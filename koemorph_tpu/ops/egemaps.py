@@ -9,7 +9,7 @@ src/features/opensmile_extractor.py:227-235: eGeMAPSv02 Functionals over a
 
 The 88 feature *names* follow the eGeMAPSv02 Functionals layout (Eyben et
 al., "The Geneva Minimalistic Acoustic Parameter Set", IEEE TAC 2016), and
-every feature implements the real eGeMAPS algorithm: per-period
+every feature implements the real eGeMAPS algorithm: exact per-cycle
 waveform-matched jitter, glottal-cycle peak shimmer, 26-band auditory
 loudness with equal-loudness contour weighting, complex-LPC-root formant
 bandwidths, harmonic-resolved formant amplitudes, HTK-mel MFCC 1-4. All 88
@@ -19,7 +19,8 @@ docs/egemaps_parity.md). Bit-parity with the OpenSMILE binary is not
 asserted in-image (no recorded goldens can ship from this machine —
 scripts/egemaps_goldens.py records them wherever `pip install opensmile`
 works); known structural deviations (YIN tracker vs SHS+Viterbi,
-half-window jitter granularity) are quantified in the parity doc.
+half-window jitter fallback below ~95 Hz) are quantified in the parity
+doc.
 
 Everything jits; the hot path is: reshape framing (no TPU gathers) ->
 matmul DFT / Wiener-Khinchin autocorrelation (no TPU FFT) -> filterbank
@@ -109,7 +110,7 @@ class EgemapsConfig:
     # emulation) with no behavioral drift in the analytic test battery;
     # dB-scale outputs and CMNDF ratios tolerate it comfortably.
     precision: str = "high"
-    # Per-period voice quality (default): jitter from half-window
+    # Per-period voice quality (default): jitter from per-glottal-cycle
     # waveform-matched periods, shimmer from glottal-cycle peak
     # amplitudes — the eGeMAPS definitions. False selects the cheaper
     # frame-level proxies (frame-to-frame F0 deltas / frame-RMS dB),
@@ -117,6 +118,14 @@ class EgemapsConfig:
     # throughput (134k -> 177k frames/s/chip at B=8 x 17 s on one v5e;
     # docs/performance.md).
     per_period_voice_quality: bool = True
+    # Per-cycle slots for exact consecutive-period jitter (OpenSMILE's
+    # jitterLocal segmentation): cycle k vs k+1 period differences are
+    # measurable whenever (k+2) periods + the search band fit in the
+    # 512-sample YIN frame — full per-cycle fidelity for F0 >= ~95 Hz
+    # with 0 selects the half-window-pair estimate everywhere (the
+    # round-3 tier); frames whose pitch is too low for any consecutive
+    # pair fall back to it per frame either way.
+    jitter_cycles: int = 8
 
 
 # ---------------------------------------------------------------------------
@@ -531,7 +540,8 @@ def compute_lld_block(
     core = yin_core(chunk, sample_rate=cfg.sample_rate, frame_length=512,
                     hop_length=hop, f0_min=cfg.f0_min, f0_max=cfg.f0_max,
                     center=False, n_acf_lags=n_acf, precision=cfg.precision,
-                    subwindow_periods=per_period)
+                    subwindow_periods=per_period,
+                    cycle_periods=cfg.jitter_cycles if per_period else 0)
     f0 = core.result.f0_hz
     voiced = core.result.voiced_flag
 
@@ -545,7 +555,9 @@ def compute_lld_block(
                      yin_frames=core.frames if per_period else None,
                      subwindow_periods=(core.period_first,
                                         core.period_second)
-                     if per_period else None)
+                     if per_period else None,
+                     cycle_periods=(core.cycle_period, core.cycle_valid)
+                     if per_period and cfg.jitter_cycles else None)
 
 
 def _lld_math(
@@ -558,6 +570,7 @@ def _lld_math(
     yin_acf: jnp.ndarray | None = None,   # (..., T, lags) shared YIN ACF
     yin_frames: jnp.ndarray | None = None,   # (..., T, 512) YIN frames
     subwindow_periods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    cycle_periods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[dict[str, jnp.ndarray], LldCarry]:
     """Shared LLD math. ``carry=None`` duplicates spectral flux's first
     frame as its predecessor (zero flux at frame 0 — the monolithic
@@ -610,15 +623,32 @@ def _lld_math(
         [prev_mag[..., None, :], mag[..., :-1, :]], axis=-2)
 
     # --- jitter: per-period, WITHIN each frame (eGeMAPS jitterLocal =
-    # relative difference of consecutive waveform-matched pitch periods;
-    # here the two half-window period estimates ~5.5 ms apart, i.e.
-    # glottal-cycle granularity for speech F0) ---
+    # mean relative difference of consecutive waveform-matched pitch
+    # periods). The primary estimate segments actual glottal cycles
+    # (ops/f0.py _per_cycle_periods — OpenSMILE's exact segmentation);
+    # frames whose pitch is too low for any consecutive cycle pair to
+    # fit the YIN frame (F0 < ~95 Hz) fall back to the two half-window
+    # period estimates ~5.5 ms apart. ---
     if subwindow_periods is not None:
         p1, p2 = subwindow_periods
         ok = voiced & (p1 > 0) & (p2 > 0)
         jitter = jnp.where(
             ok, jnp.abs(p2 - p1) / jnp.maximum(0.5 * (p1 + p2), 1e-6), 0.0)
         jitter_valid = ok
+        if cycle_periods is not None:
+            t_k, v_k = cycle_periods              # (..., T, K)
+            pair = (v_k[..., :-1] & v_k[..., 1:]).astype(t_k.dtype)
+            n_pair = jnp.sum(pair, axis=-1)
+            d_t = jnp.abs(t_k[..., 1:] - t_k[..., :-1])
+            vf = v_k.astype(t_k.dtype)
+            mean_t = (jnp.sum(t_k * vf, axis=-1)
+                      / jnp.maximum(jnp.sum(vf, axis=-1), 1.0))
+            jitter_cyc = (jnp.sum(d_t * pair, axis=-1)
+                          / jnp.maximum(n_pair, 1.0)
+                          / jnp.maximum(mean_t, 1e-6))
+            has_cycles = voiced & (n_pair >= 1.0)
+            jitter = jnp.where(has_cycles, jitter_cyc, jitter)
+            jitter_valid = jitter_valid | has_cycles
     else:
         # fallback (no YIN sub-window data): frame-to-frame F0 deltas.
         # A carry with continuity fields supplies the previous chunk's

@@ -50,6 +50,13 @@ class YinCore(NamedTuple):
     # when subwindow_periods=False.
     period_first: jnp.ndarray   # (..., T)
     period_second: jnp.ndarray  # (..., T)
+    # exact per-glottal-cycle periods (samples): cycle_period[..., k] is
+    # the waveform-matched period between cycle k and cycle k+1 (cycle
+    # boundaries at multiples of the frame-level period estimate), with
+    # cycle_valid marking cycles whose compared samples fit inside the
+    # frame. None when cycle_periods=0.
+    cycle_period: Optional[jnp.ndarray] = None  # (..., T, K)
+    cycle_valid: Optional[jnp.ndarray] = None   # (..., T, K) bool
 
 
 @functools.lru_cache(maxsize=16)
@@ -269,6 +276,7 @@ def yin_core(
     n_acf_lags: Optional[int] = None,
     precision: str = "highest",
     subwindow_periods: bool = False,
+    cycle_periods: int = 0,
 ) -> YinCore:
     """:func:`yin_f0` plus the frames and full-frame autocorrelation it
     computed along the way (see :class:`YinCore`). ``n_acf_lags`` extends
@@ -345,8 +353,14 @@ def yin_core(
                                     c_first)
     else:
         p1 = p2 = jnp.zeros_like(f0)
+    if cycle_periods > 0:
+        cp, cv = _per_cycle_periods(frames, tau_max, pick, tau_refined,
+                                    cycle_periods)
+    else:
+        cp = cv = None
     return YinCore(result=result, frames=frames, acf=acf,
-                   period_first=p1, period_second=p2)
+                   period_first=p1, period_second=p2,
+                   cycle_period=cp, cycle_valid=cv)
 
 
 def _refine_period_local(d_sub: jnp.ndarray, pick: jnp.ndarray,
@@ -379,6 +393,107 @@ def _refine_period_local(d_sub: jnp.ndarray, pick: jnp.ndarray,
                     0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12,
                                                 denom, 1.0), 0.0)
     return center.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0)
+
+
+def _per_cycle_periods(frames: jnp.ndarray, tau_max: int,
+                       pick: jnp.ndarray, tau: jnp.ndarray,
+                       n_cycles: int, half_lag: int = 8,
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-glottal-cycle period estimates by waveform matching
+    (OpenSMILE's jitterLocal segmentation, reference
+    src/features/opensmile_extractor.py eGeMAPS jitter rows).
+
+    Cycle ``k`` occupies samples ``[k*tau, (k+1)*tau)`` of the frame
+    (boundaries from the frame-level period estimate ``tau`` — arithmetic
+    iota masks, no gathers). Its period is the lag minimizing the
+    cycle-restricted difference function
+
+        d_k(o) = sum_{j in cycle k} (x_j - x_{j + pick - half_lag + o})^2
+
+    over a ``±half_lag``-sample search band around the frame-level YIN
+    pick, parabolically refined to sub-sample precision. Unlike the
+    half-window estimates (:func:`_subwindow_periods`, which average over
+    >=2 cycles at low pitch), this measures CONSECUTIVE cycle periods —
+    alternating-period (diplophonic) jitter that window averaging
+    cancels is recovered at full amplitude.
+
+    TPU shape: ONE batched ``dynamic_slice`` extracts the pick-aligned
+    comparison span per frame (the only data-dependent indexing), the
+    ``2*half_lag + 1`` lag offsets become static overlapping slices of
+    it, and the per-cycle reduction is a single
+    ``(K, J) x (J, L)`` einsum per frame — mask build and squared
+    differences fuse into its operands.
+
+    Args:
+        frames: (..., T, n) raw signal frames.
+        pick: (..., T) int frame-level period lag (pre-refinement).
+        tau: (..., T) float sub-sample refined frame-level period.
+
+    Returns:
+        (periods (..., T, n_cycles) float samples,
+         valid (..., T, n_cycles) bool — cycle k and its comparison
+         samples fully inside the frame).
+    """
+    import jax
+
+    from koemorph_tpu.ops.gatherless import select_columns
+
+    n = frames.shape[-1]
+    n_lag = 2 * half_lag + 1
+    span = n - n_lag + 1                    # usable j range after shifts
+    # z(j) = x[j + pick - half_lag], one batched dynamic_slice per frame
+    # (pick >= tau_min > half_lag for every supported f0_max, so the
+    # start never clips at 0; zero tail padding covers the high end)
+    start = jnp.clip(pick - half_lag, 0, tau_max + half_lag)
+    padded = jnp.concatenate(
+        [frames,
+         jnp.zeros(frames.shape[:-1] + (tau_max + half_lag,),
+                   frames.dtype)], axis=-1)
+    flat = padded.reshape(-1, padded.shape[-1])
+    z = jax.vmap(
+        lambda a, s: jax.lax.dynamic_slice(a, (s,), (n,))
+    )(flat, start.reshape(-1)).reshape(frames.shape)
+
+    x_head = frames[..., :span]                              # (..., T, J)
+    zs = jnp.stack([z[..., o:o + span] for o in range(n_lag)],
+                   axis=-1)                                  # (..., T, J, L)
+    e = (x_head[..., None] - zs) ** 2
+
+    iota = jnp.arange(span, dtype=jnp.float32)
+    k_idx = jnp.arange(n_cycles, dtype=jnp.float32)[:, None]  # (K, 1)
+    tau_b = tau[..., None, None]                             # (..., T, 1, 1)
+    start_b = start[..., None, None].astype(jnp.float32)
+    in_cycle = (iota >= k_idx * tau_b) & (iota < (k_idx + 1.0) * tau_b)
+    # the compared sample x_{j + start + o} must be a real sample for
+    # EVERY search offset (o <= 2*half_lag), so the mask is
+    # offset-independent
+    sample_ok = iota <= (n - 1.0) - 2.0 * half_lag - start_b
+    m = (in_cycle & sample_ok).astype(frames.dtype)          # (..., T, K, J)
+    d = jnp.einsum("...kj,...jl->...kl", m, e,
+                   precision="highest")                      # (..., T, K, L)
+
+    o_star = jnp.argmin(d, axis=-1)
+    y1 = jnp.min(d, axis=-1)
+    duo = jnp.stack([jnp.clip(o_star - 1, 0, n_lag - 1),
+                     jnp.clip(o_star + 1, 0, n_lag - 1)], axis=-1)
+    ys = select_columns(d, duo)
+    y0, y2 = ys[..., 0], ys[..., 1]
+    denom = y0 - 2.0 * y1 + y2
+    off = jnp.where(jnp.abs(denom) > 1e-12,
+                    0.5 * (y0 - y2) / jnp.where(jnp.abs(denom) > 1e-12,
+                                                denom, 1.0), 0.0)
+    # the measured lag IS start + o (d_k(o) compares x_j with
+    # x_{j + start + o}), so the clipped slice start keeps this exact
+    # even for configs where pick - half_lag would clip at 0
+    periods = (start.astype(jnp.float32)[..., None]
+               + o_star.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0))
+
+    k_row = jnp.arange(n_cycles, dtype=jnp.float32)
+    valid = ((tau[..., None] > 0)
+             & ((k_row + 1.0) * tau[..., None] - 1.0
+                + start.astype(jnp.float32)[..., None] + 2.0 * half_lag
+                <= n - 1.0))
+    return periods, valid
 
 
 def _subwindow_periods(frames: jnp.ndarray, tau_max: int,

@@ -125,6 +125,65 @@ class TestVoiceQuality:
             IDX["shimmerLocaldB_sma3nz_amean"]]
         assert got < 0.05, got
 
+    @staticmethod
+    def _alternating_pulse_train(period: int, delta: int,
+                                 n_periods: int = 400) -> np.ndarray:
+        """Glottal-pulse train whose consecutive periods alternate
+        ``period`` / ``period + delta`` samples (diplophonia) — true
+        jitterLocal = delta / (period + delta/2)."""
+        starts = [0]
+        for i in range(n_periods):
+            starts.append(starts[-1] + (period if i % 2 == 0
+                                        else period + delta))
+        x = np.zeros(starts[-1] + 600, np.float32)
+        pulse = np.exp(-0.5 * ((np.arange(40) - 8) / 4.0) ** 2)
+        for s in starts:
+            x[s:s + 40] += pulse
+        return (x / np.abs(x).max()).astype(np.float32)
+
+    def test_jitter_recovers_alternating_periods_per_cycle(self):
+        # Consecutive-period alternation is the case window averaging
+        # cancels: only exact per-cycle segmentation (OpenSMILE's
+        # jitterLocal) sees its full amplitude. 100/104-sample periods
+        # at 16 kHz (~157 Hz) -> true jitter 0.0392; the per-cycle
+        # estimator recovers ~92% (cycle boundaries sit on the
+        # frame-mean period, so windows drift slightly vs the true
+        # alternating cycles).
+        x = self._alternating_pulse_train(100, 4)
+        got = feats(x)[IDX["jitterLocal_sma3nz_amean"]]
+        true_j = 4 / (100 + 2)
+        assert abs(got - true_j) / true_j < 0.15, (got, true_j)
+
+    def test_per_cycle_periods_alternate(self):
+        # unit-level: the per-cycle estimates themselves alternate
+        # around 100/104 samples with ~3 valid cycles per frame
+        from koemorph_tpu.ops.f0 import yin_core
+
+        x = self._alternating_pulse_train(100, 4, n_periods=100)
+        core = yin_core(jnp.asarray(x), sample_rate=SR, frame_length=512,
+                        hop_length=160, f0_min=55, f0_max=500,
+                        center=False, cycle_periods=8)
+        cp = np.asarray(core.cycle_period)
+        cv = np.asarray(core.cycle_valid)
+        voiced = np.asarray(core.result.voiced_flag)
+        mid = voiced.copy()
+        mid[:5] = mid[-5:] = False
+        assert cv[mid].sum(-1).mean() >= 2.5   # >=3 measurable cycles
+        pair = cv[mid][..., :-1] & cv[mid][..., 1:]
+        d_t = np.abs(np.diff(cp[mid], axis=-1))[pair]
+        # consecutive periods differ by ~4 samples (window drift erodes
+        # ~10-20%); the frame-level F0 alone would show ~0 here
+        assert 2.5 < d_t.mean() < 5.5, d_t.mean()
+
+    def test_jitter_low_pitch_falls_back_to_half_window(self):
+        # 80 Hz: a consecutive cycle pair (3 periods + search band =
+        # ~608 samples) cannot fit the 512-sample YIN frame, so jitter
+        # comes from the half-window pair — still ~0 for a clean tone
+        # and still finite/valid.
+        f = feats(0.5 * np.sin(2 * np.pi * 80.0 * t_axis(3)))
+        got = f[IDX["jitterLocal_sma3nz_amean"]]
+        assert np.isfinite(got) and got < 5e-3, got
+
 
 class TestLoudnessAndLevel:
     def test_equivalent_sound_level_exact(self):
