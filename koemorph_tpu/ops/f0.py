@@ -395,6 +395,109 @@ def _refine_period_local(d_sub: jnp.ndarray, pick: jnp.ndarray,
     return center.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0)
 
 
+def _shift_rows(x: jnp.ndarray, shift: jnp.ndarray, n_out: int,
+                s_max: int) -> jnp.ndarray:
+    """``z[r, j] = x[r, j + shift[r]]`` without a gather.
+
+    The per-row shift is decomposed into its binary digits; each digit
+    is one ``where`` between two STATIC overlapping slices, so the
+    whole shift is ``ceil(log2(s_max))`` fused elementwise passes. The
+    equivalent row gather (vmapped ``dynamic_slice``) measured 12.2 ms
+    at the 13.6k-row batched-decode shape — TPU gathers serialize —
+    vs ~2 orders less for the select-shift chain.
+
+    Args:
+        x: (rows, >= n_out + 2^ceil(log2(s_max+1)) - 1) source rows
+            (zero-pad to cover the deepest shift).
+        shift: (rows,) int32 in [0, s_max].
+        n_out: output row length.
+
+    Returns:
+        (rows, n_out) shifted rows.
+    """
+    n_bits = max(int(np.ceil(np.log2(s_max + 1))), 1)
+    steps = [1 << b for b in reversed(range(n_bits))]
+    need = n_out + sum(steps)
+    if x.shape[-1] < need:
+        raise ValueError(f"source length {x.shape[-1]} < required {need}")
+    z = x[..., :need]
+    for i, step in enumerate(steps):
+        keep = n_out + sum(steps[i + 1:])
+        bit = (shift & step) > 0
+        z = jnp.where(bit[..., None], z[..., step:step + keep],
+                      z[..., :keep])
+    return z
+
+
+def _cycle_dsum(frames: jnp.ndarray, start: jnp.ndarray,
+                tau: jnp.ndarray, *, tau_max: int, n_cycles: int,
+                half_lag: int) -> jnp.ndarray:
+    """Cycle-restricted difference sums d(k, o).
+
+    The pick-aligned comparison span comes from the gather-free
+    :func:`_shift_rows`, the search offsets become static overlapping
+    slices, and the per-cycle reduction is one masked
+    ``(K, J) x (J, L)`` einsum — mask build and squared differences
+    fuse into its operands. Measured 2.1 ms at the 13.6k-row
+    batched-decode shape (the vmapped-dynamic-slice + einsum first cut
+    measured 16.5 ms, 12.2 of it the row gather alone).
+
+    Args:
+        frames: (rows, n) raw YIN frames.
+        start: (rows,) int32 comparison-span starts (pick - half_lag).
+        tau: (rows,) float frame-level refined periods.
+
+    Returns:
+        (rows, n_cycles, 2*half_lag + 1) float32 sums.
+    """
+    import jax
+
+    rows, n = frames.shape
+    n_lag = 2 * half_lag + 1
+    span = n - n_lag + 1
+    s_max = tau_max + half_lag
+    n_bits = max(int(np.ceil(np.log2(s_max + 1))), 1)
+    pad = (1 << n_bits) - 1          # zero tail covering every digit
+    padded = jnp.concatenate(
+        [frames, jnp.zeros((rows, pad), frames.dtype)], axis=-1)
+    z = jax.lax.optimization_barrier(_shift_rows(padded, start, n, s_max))
+
+    def _xla(fr, zz, st, tu):
+        x_head = fr[..., :span]                              # (R, J)
+        zs = jnp.stack([zz[..., o:o + span] for o in range(n_lag)],
+                       axis=-1)                              # (R, J, L)
+        e = (x_head[..., None] - zs) ** 2
+
+        iota = jnp.arange(span, dtype=jnp.float32)
+        k_idx = jnp.arange(n_cycles, dtype=jnp.float32)[:, None]  # (K, 1)
+        tau_b = tu[..., None, None]                          # (R, 1, 1)
+        start_b = st[..., None, None].astype(jnp.float32)
+        in_cycle = (iota >= k_idx * tau_b) & (iota < (k_idx + 1.0) * tau_b)
+        # the compared sample x_{j + start + o} must be a real sample
+        # for EVERY search offset (o <= 2*half_lag), so the mask is
+        # offset-independent
+        sample_ok = iota <= (n - 1.0) - 2.0 * half_lag - start_b
+        m = (in_cycle & sample_ok).astype(fr.dtype)          # (R, K, J)
+        return jnp.einsum("...kj,...jl->...kl", m, e,
+                          precision="highest")               # (R, K, L)
+
+    def _pallas(fr, zz, st, tu):
+        from koemorph_tpu.ops.pallas.cycle_dsum_kernel import (
+            cycle_dsum_lanes_pallas)
+
+        return cycle_dsum_lanes_pallas(fr, zz, st, tu, n_cycles=n_cycles,
+                                       half_lag=half_lag, tau_max=tau_max)
+
+    # the XLA form materializes the shifted-difference tensor and cycle
+    # masks in HBM (~1.4 GB / 3.2 ms at the 13.6k-row batched-decode
+    # shape for ~2 GFLOP); the Pallas kernel keeps them in VMEM.
+    # Dispatch keys off the LOWERING platform (not the default backend)
+    # so CPU-placed executions on a TPU host take the XLA form —
+    # pallas_call has no compiled CPU lowering.
+    return jax.lax.platform_dependent(frames, z, start, tau,
+                                      tpu=_pallas, default=_xla)
+
+
 def _per_cycle_periods(frames: jnp.ndarray, tau_max: int,
                        pick: jnp.ndarray, tau: jnp.ndarray,
                        n_cycles: int, half_lag: int = 8,
@@ -417,12 +520,13 @@ def _per_cycle_periods(frames: jnp.ndarray, tau_max: int,
     alternating-period (diplophonic) jitter that window averaging
     cancels is recovered at full amplitude.
 
-    TPU shape: ONE batched ``dynamic_slice`` extracts the pick-aligned
-    comparison span per frame (the only data-dependent indexing), the
-    ``2*half_lag + 1`` lag offsets become static overlapping slices of
-    it, and the per-cycle reduction is a single
-    ``(K, J) x (J, L)`` einsum per frame — mask build and squared
-    differences fuse into its operands.
+    TPU shape: fully gather-free — the pick-aligned comparison span
+    comes from a binary select-shift chain (:func:`_shift_rows`; the
+    row gather it replaces was 12.2 of the 16.5 ms first-cut cost at
+    the batched-decode shape), the ``2*half_lag + 1`` lag offsets
+    become static overlapping slices of it, and the per-cycle
+    reduction is a masked ``(K, J) x (J, L)`` einsum per frame
+    (:func:`_cycle_dsum`).
 
     Args:
         frames: (..., T, n) raw signal frames.
@@ -434,43 +538,24 @@ def _per_cycle_periods(frames: jnp.ndarray, tau_max: int,
          valid (..., T, n_cycles) bool — cycle k and its comparison
          samples fully inside the frame).
     """
-    import jax
-
     from koemorph_tpu.ops.gatherless import select_columns
 
     n = frames.shape[-1]
     n_lag = 2 * half_lag + 1
-    span = n - n_lag + 1                    # usable j range after shifts
-    # z(j) = x[j + pick - half_lag], one batched dynamic_slice per frame
-    # (pick >= tau_min > half_lag for every supported f0_max, so the
-    # start never clips at 0; zero tail padding covers the high end)
+    # z(j) = x[j + pick - half_lag] (pick >= tau_min > half_lag for
+    # every supported f0_max, so the start never clips at 0; zero tail
+    # padding covers the high end)
     start = jnp.clip(pick - half_lag, 0, tau_max + half_lag)
-    padded = jnp.concatenate(
-        [frames,
-         jnp.zeros(frames.shape[:-1] + (tau_max + half_lag,),
-                   frames.dtype)], axis=-1)
-    flat = padded.reshape(-1, padded.shape[-1])
-    z = jax.vmap(
-        lambda a, s: jax.lax.dynamic_slice(a, (s,), (n,))
-    )(flat, start.reshape(-1)).reshape(frames.shape)
+    import jax
 
-    x_head = frames[..., :span]                              # (..., T, J)
-    zs = jnp.stack([z[..., o:o + span] for o in range(n_lag)],
-                   axis=-1)                                  # (..., T, J, L)
-    e = (x_head[..., None] - zs) ** 2
-
-    iota = jnp.arange(span, dtype=jnp.float32)
-    k_idx = jnp.arange(n_cycles, dtype=jnp.float32)[:, None]  # (K, 1)
-    tau_b = tau[..., None, None]                             # (..., T, 1, 1)
-    start_b = start[..., None, None].astype(jnp.float32)
-    in_cycle = (iota >= k_idx * tau_b) & (iota < (k_idx + 1.0) * tau_b)
-    # the compared sample x_{j + start + o} must be a real sample for
-    # EVERY search offset (o <= 2*half_lag), so the mask is
-    # offset-independent
-    sample_ok = iota <= (n - 1.0) - 2.0 * half_lag - start_b
-    m = (in_cycle & sample_ok).astype(frames.dtype)          # (..., T, K, J)
-    d = jnp.einsum("...kj,...jl->...kl", m, e,
-                   precision="highest")                      # (..., T, K, L)
+    d = _cycle_dsum(frames.reshape(-1, n),
+                    start.reshape(-1).astype(jnp.int32),
+                    tau.reshape(-1), tau_max=tau_max,
+                    n_cycles=n_cycles, half_lag=half_lag)
+    d = d.reshape(frames.shape[:-1] + (n_cycles, n_lag))
+    # d feeds argmin/min AND the parabola's neighbor lookups; the
+    # barrier keeps the einsum from being re-fused into each consumer
+    d = jax.lax.optimization_barrier(d)
 
     o_star = jnp.argmin(d, axis=-1)
     y1 = jnp.min(d, axis=-1)

@@ -91,3 +91,46 @@ class TestStackedAcfGate:
         monkeypatch.setattr(f0m, "_ACF_STACK_MAX_ROWS", 0)
         b = np.asarray(yin_f0(x).f0_hz)
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+class TestShiftRows:
+    def test_matches_dynamic_slice(self):
+        import jax
+
+        from koemorph_tpu.ops.f0 import _shift_rows
+
+        rng = np.random.default_rng(11)
+        s_max = 299
+        n_out = 512
+        n_bits = int(np.ceil(np.log2(s_max + 1)))
+        src_len = n_out + (1 << n_bits) - 1
+        x = jnp.asarray(rng.standard_normal((64, src_len)).astype(
+            np.float32))
+        shift = jnp.asarray(rng.integers(0, s_max + 1, size=64).astype(
+            np.int32))
+        got = np.asarray(_shift_rows(x, shift, n_out, s_max))
+        want = np.asarray(jax.vmap(
+            lambda a, s: jax.lax.dynamic_slice(a, (s,), (n_out,)))(
+                x, shift))
+        np.testing.assert_array_equal(got, want)
+
+    def test_edge_shifts(self):
+        import jax
+
+        from koemorph_tpu.ops.f0 import _shift_rows
+
+        x = jnp.asarray(np.arange(4 * 530, dtype=np.float32).reshape(
+            4, 530))
+        shift = jnp.asarray(np.array([0, 1, 7, 8], np.int32))
+        got = np.asarray(_shift_rows(x, shift, 512, 7 + 1))
+        want = np.asarray(jax.vmap(
+            lambda a, s: jax.lax.dynamic_slice(a, (s,), (512,)))(
+                x, shift))
+        np.testing.assert_array_equal(got, want)
+
+    def test_source_too_short_raises(self):
+        from koemorph_tpu.ops.f0 import _shift_rows
+
+        x = jnp.zeros((2, 500))
+        with pytest.raises(ValueError, match="source length"):
+            _shift_rows(x, jnp.zeros((2,), jnp.int32), 512, 10)
