@@ -115,8 +115,9 @@ class EgemapsConfig:
     # amplitudes — the eGeMAPS definitions. False selects the cheaper
     # frame-level proxies (frame-to-frame F0 deltas / frame-RMS dB),
     # trading the last fidelity tier for ~25% more batched-decode
-    # throughput (134k -> 177k frames/s/chip at B=8 x 17 s on one v5e;
-    # docs/performance.md).
+    # throughput (round-3 measurement 134k -> 177k frames/s/chip at
+    # B=8 x 17 s on one v5e; the bench's fidelity ladder in
+    # docs/performance.md carries the current numbers of record).
     per_period_voice_quality: bool = True
     # Per-cycle slots for exact consecutive-period jitter (OpenSMILE's
     # jitterLocal segmentation): cycle k vs k+1 period differences are
