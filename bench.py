@@ -208,15 +208,19 @@ def capacity_metrics(params, fps: int, sizes, refresh_cohorts: int = 8,
     cfg = StreamingConfig(target_fps=fps, window_frames=window,
                           emotion_update_frames=cadence)
     budget_ms = 1e3 / fps
-    rows, best = [], 0
-    for s in sizes:
+    rows, best, prefix_ok = [], 0, True
+    for s in sorted(sizes):
         server = MultiStreamInference(
             params, cfg, n_sessions=s,
             refresh_cohorts=min(refresh_cohorts, cadence))
         st = server.sustained_stats(n_frames=n_frames)
         rows.append({"sessions": s, "step_ms": round(st["step_ms"], 2)})
-        if st["step_ms"] < budget_ms:
-            best = max(best, s)
+        # capacity = largest PREFIX of passing sizes: a larger size
+        # passing after a smaller one failed is measurement noise on
+        # the shared chip (documented ±25% scatter), not capacity
+        prefix_ok = prefix_ok and st["step_ms"] < budget_ms
+        if prefix_ok:
+            best = s
         del server
     return best, rows
 

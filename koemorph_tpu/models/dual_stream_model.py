@@ -509,6 +509,18 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
             norm = (jnp.maximum(window_db - wmax, -80.0) + 80.0) / 80.0
             return norm[..., : self.window_frames, :], norm[..., -3:, :]
 
+        def splice_edges(windows, starts_samples):
+            """Replace the first/last n_edge mel rows of each gathered
+            window with the reference's reflect-padded per-window STFT
+            rows — the only rows where the global STFT differs
+            (_reflect_edge_rows)."""
+            e0, ew = _reflect_edge_rows(
+                audio, starts_samples, self.window_frames * hop,
+                cfg.n_fft, hop, fb)
+            ne = e0.shape[2]
+            return jnp.concatenate(
+                [e0, windows[:, :, ne:-ne], ew], axis=2)
+
         def decode_windows(start_idx: np.ndarray):
             """Decode the windows starting at these frame indices in one
             parallel batch; returns (raw (n, B, 52), extras)."""
@@ -522,16 +534,9 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                                 + np.arange(w_frames)[None, :])
                 windows = jnp.take(log_mel, g, axis=1)    # (B,n,257,80)
                 if self.window_edge == "reflect":
-                    # splice the reference's reflect-padded edge frames
-                    # (the first/last n_edge rows are the only ones that
-                    # differ from the global STFT — _reflect_edge_rows;
-                    # static offsets -> static gather)
-                    e0, ew = _reflect_edge_rows(
-                        audio, np.asarray(start_idx) * hop,
-                        self.window_frames * hop, cfg.n_fft, hop, fb)
-                    ne = e0.shape[2]
-                    windows = jnp.concatenate(
-                        [e0, windows[:, :, ne:-ne], ew], axis=2)
+                    # static offsets -> static gather inside the splice
+                    windows = splice_edges(
+                        windows, np.asarray(start_idx) * hop)
             mel_w, detail_w = window_features(windows)
             # emotion rows are per-utterance; at inference the attention
             # module runs its emotion branch at B rows and repeats across
@@ -568,13 +573,7 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                 log_mel, g.reshape(b, -1)[..., None], axis=1)
             windows = windows.reshape(b, n, w_frames, log_mel.shape[-1])
             if self.window_edge == "reflect":
-                # same reflect-edge splice as the fixed grid
-                e0, ew = _reflect_edge_rows(
-                    audio, ws * hop, self.window_frames * hop, cfg.n_fft,
-                    hop, fb)
-                ne = e0.shape[2]
-                windows = jnp.concatenate(
-                    [e0, windows[:, :, ne:-ne], ew], axis=2)
+                windows = splice_edges(windows, ws * hop)
             mel_w, detail_w = window_features(windows)
             # emotion rows are per-utterance; at inference the attention
             # module runs its emotion branch at B rows and repeats across

@@ -60,8 +60,13 @@ def _kernel(x_ref, z_ref, tau_ref, lim_ref, out_ref, *, n: int,
         jnp.int32, (span, lanes), 0).astype(jnp.float32)
     sample_ok = jj <= lim[None, :]
     for k in range(n_cycles):
+        # boundaries as fl(k*t) / fl((k+1)*t), EXACTLY like the XLA
+        # form's iota compares — fl(k*t)+t can round differently and
+        # double-count (or drop) a boundary sample between adjacent
+        # cycles
         lo = k * t
-        m = ((jj >= lo[None, :]) & (jj < (lo + t)[None, :])
+        hi = (k + 1.0) * t
+        m = ((jj >= lo[None, :]) & (jj < hi[None, :])
              & sample_ok).astype(jnp.float32)              # (J, R)
         for o in range(n_lag):
             e = xh - z_ref[o:o + span, :]

@@ -180,7 +180,7 @@ def main() -> int:
 
     t0 = time.time()
     history, val_history = [], []
-    best = (float("inf"), -1)
+    best = (float("inf"), -1, {})
     bad_rounds = 0
     done_epochs = 0
     round_epochs = max(1, args.val_every)
@@ -197,7 +197,7 @@ def main() -> int:
         val_history.append(val)
         vloss = float(val.get("loss", val.get("mae", np.inf)))
         if vloss < best[0] - 1e-6:
-            best = (vloss, done_epochs)
+            best = (vloss, done_epochs, val)
             trainer.checkpoints.save(
                 trainer.state.params, epoch=done_epochs,
                 global_step=trainer.global_step, val_loss=vloss,
@@ -212,9 +212,14 @@ def main() -> int:
                 break
     train_s = time.time() - t0
 
-    final_val = val_history[-1] if val_history else {}
+    # report the BEST checkpoint's metrics (the saved artifact), not the
+    # last validation round's: with early stopping the last round is by
+    # construction past the optimum, and the verdict/exit code must
+    # describe the model a user would actually load
+    final_val = best[2] if best[1] >= 0 else (
+        val_history[-1] if val_history else {})
     tgt = REFERENCE_TARGETS[args.fps]
-    mae = float(final_val.get("l1", final_val.get("mae", float("nan"))))
+    mae = float(final_val.get("mae", final_val.get("l1", float("nan"))))
     rows = [
         ("MAE", f"{mae:.4f}",
          f"{tgt['mae']:.3f} ± {tgt['mae_tol']:.3f}"),
@@ -238,7 +243,8 @@ def main() -> int:
         f"{done_epochs}/{args.epochs} epochs "
         f"(early stop patience {args.patience} x {args.val_every} "
         f"epochs), batch {args.batch_size}, lr {args.lr:g}, "
-        f"{train_s:.0f} s wall.",
+        f"{train_s:.0f} s wall; table = best checkpoint "
+        f"(epoch {best[1]}).",
         "",
         "Training recipe = the reference's "
         "configs/training/default.yaml (AdamW 1e-4 / wd 1e-5, cosine "

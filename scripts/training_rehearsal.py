@@ -77,15 +77,22 @@ def recall_diagnosis(model, params, data_dir: Path) -> tuple[list, dict]:
     hop = int(model.sample_rate / model.target_fps)
     apply = jax.jit(lambda p, a: model.apply(
         {"params": p}, a, deterministic=True)["blendshapes"])
-    preds, tgts = [], []
+    files = []
     for wav in sorted(Path(data_dir).glob("*.wav")):
         audio, _sr = read_wav(wav, mono=True)
         bs, _fps = load_blendshapes_with_fps(wav.with_suffix(".jsonl"))
         n_frames = min(len(audio) // hop, bs.shape[0])
-        if n_frames <= model.window_frames:
-            continue
-        out = apply(params, jnp.asarray(audio[None, : n_frames * hop]))
-        t = sequence_targets(jnp.asarray(bs[None, :n_frames]),
+        if n_frames > model.window_frames:
+            files.append((audio, bs, n_frames))
+    # truncate every utterance to the COMMON length: jit compiles one
+    # sequential-decode executable per distinct length, and through the
+    # tunneled TPU each compile costs tens of seconds — far more than
+    # the few frames the truncation discards
+    preds, tgts = [], []
+    n_common = min((n for _, _, n in files), default=0)
+    for audio, bs, _n in files:
+        out = apply(params, jnp.asarray(audio[None, : n_common * hop]))
+        t = sequence_targets(jnp.asarray(bs[None, :n_common]),
                              model.window_frames, model.stride_frames,
                              out.shape[1])
         preds.append(np.asarray(out[0]))
@@ -296,7 +303,7 @@ def main() -> int:
                    "--fps", str(args.fps),
                    "--format", "saved_model", "--cpu"])
 
-    empty = {"loss": float("nan"), "l1": float("nan")}
+    empty = {"loss": float("nan"), "mae": float("nan")}
     first, last = (epochs[0], epochs[-1]) if epochs else (empty, empty)
 
     # ---- recall diagnosis: threshold sweep + operating point ----
@@ -311,7 +318,11 @@ def main() -> int:
         "active_weight": args.active_weight,
         "loss_first": float(first["loss"]),
         "loss_last": float(last["loss"]),
-        "mae_last": float(last.get("l1", float("nan"))),
+        # 'mae' is the UNWEIGHTED mean |pred - target| (losses.py
+        # frame_metrics); 'l1' is the loss term, which active_weight
+        # scales — quoting it as MAE would make runs incomparable
+        # across --active-weight settings
+        "mae_last": float(last.get("mae", float("nan"))),
         "correlation_first": float(first.get("correlation", 0.0)),
         "correlation_last": float(last.get("correlation", 0.0)),
         "f1_last": float(last.get("f1_score", 0.0)),
@@ -368,10 +379,13 @@ def main() -> int:
         fig, ax = plt.subplots(1, 2, figsize=(10, 3.6))
         ax[0].plot(xs, [e["loss"] for e in epochs], marker="o")
         ax[0].set(title="training loss", xlabel="epoch", ylabel="loss")
-        if "l1" in epochs[0]:
-            ax[1].plot(xs, [e["l1"] for e in epochs], marker="o",
+        key = "mae" if "mae" in epochs[0] else "l1"
+        if key in epochs[0]:
+            ax[1].plot(xs, [e[key] for e in epochs], marker="o",
                        color="teal")
-            ax[1].set(title="MAE (L1)", xlabel="epoch", ylabel="MAE")
+            title = ("MAE" if key == "mae"
+                     else "L1 loss term (active-weighted)")
+            ax[1].set(title=title, xlabel="epoch", ylabel=title)
         fig.tight_layout()
         fig.savefig(ASSETS / f"rehearsal_loss{suffix}.png", dpi=110)
 
