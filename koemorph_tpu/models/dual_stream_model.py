@@ -282,6 +282,35 @@ def _edge_dft_matrices_np(n_fft: int, hop: int):
     return hc, hs, tc, ts
 
 
+def _strided_segments(a: jnp.ndarray, start0: int, stride: int,
+                      n: int, length: int) -> jnp.ndarray:
+    """(B, L) -> (B, n, length) rows ``a[:, start0 + k*stride :][:length]``
+    for a STATIC arithmetic grid, without a gather.
+
+    Views the signal as ``stride``-sample blocks; segment k is the first
+    ``length`` samples of blocks ``k .. k+q-1`` (``q = ceil(length /
+    stride)``), so the rows assemble from one reshape plus ``q`` static
+    block-slices concatenated on the sample axis — all fusable by XLA,
+    unlike an element-wise gather of B*n*length scalars (measured ~3x
+    the cost of the edge DFT GEMMs it feeds at the 30 fps bench shape).
+    Pads with zeros past the end of ``a``; callers guarantee every real
+    segment sample is in range, so padding only fills unused block tail.
+    """
+    b, L = a.shape
+    if n == 1 or stride == 0:
+        seg = a[:, start0:start0 + length]
+        return seg[:, None, :]
+    q = -(-length // stride)
+    need = start0 + (n + q - 1) * stride
+    if need > L:
+        a = jnp.pad(a, ((0, 0), (0, need - L)))
+    blocks = a[:, start0:start0 + (n + q - 1) * stride]
+    blocks = blocks.reshape(b, n + q - 1, stride)
+    seg = jnp.concatenate(
+        [blocks[:, j:j + n] for j in range(q)], axis=-1)[:, :, :length]
+    return seg
+
+
 def _reflect_edge_rows(audio: jnp.ndarray, p, w_hop: int,
                        n_fft: int, hop: int,
                        fb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -319,13 +348,27 @@ def _reflect_edge_rows(audio: jnp.ndarray, p, w_hop: int,
     hc, hs, tc, ts = (jnp.asarray(m)
                       for m in _edge_dft_matrices_np(n_fft, hop))
 
-    if isinstance(p, np.ndarray):        # static grid -> static gather
-        ar = np.arange(span + 1)
-        seg0 = jnp.take(audio, jnp.asarray(p[:, None] + ar), axis=1)
-        segw = jnp.take(
-            audio, jnp.asarray(p[:, None] + (w_hop - span - 1) + ar),
-            axis=1)
+    if isinstance(p, np.ndarray):        # static grid -> gather-free
         n = p.shape[0]
+        stride = int(p[1] - p[0]) if n > 1 else 0
+        uniform = n == 1 or bool(np.all(np.diff(p) == stride))
+        if uniform:
+            # Arithmetic grid: each (span+1)-sample segment is covered by
+            # q = ceil((span+1)/stride) consecutive stride-blocks of the
+            # signal, so the per-window segments assemble from a reshape
+            # plus q static block-slices — no gather. The element-wise
+            # gather of B*n*(span+1) scalars was the dominant cost of
+            # this function on TPU (~0.64 of 0.69 ms at the bench shape;
+            # the DFT GEMMs are ~0.2 ms).
+            seg0 = _strided_segments(audio, int(p[0]), stride, n, span + 1)
+            segw = _strided_segments(
+                audio, int(p[0]) + w_hop - span - 1, stride, n, span + 1)
+        else:
+            ar = np.arange(span + 1)
+            seg0 = jnp.take(audio, jnp.asarray(p[:, None] + ar), axis=1)
+            segw = jnp.take(
+                audio, jnp.asarray(p[:, None] + (w_hop - span - 1) + ar),
+                axis=1)
     else:                                # traced starts -> dynamic gather
         ar = jnp.arange(span + 1, dtype=p.dtype)
         n = p.shape[1]
@@ -401,10 +444,13 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
     exact_window_stft: bool = False  # reference-exact window-edge framing
     # "reflect" (default): splice the reference's reflect-padded edge
     # frames into the global-STFT windows — bit-equivalent to the
-    # per-window framing, passes the <=1e-3 e2e gate. "interior": skip
-    # the splice (every frame sees real neighbor samples); deviation vs
-    # the torch reference bounded <0.02 at the edges, measured faster —
-    # see docs/performance.md for the decode-throughput trade.
+    # per-window framing, passes the <=1e-3 e2e gate, and since the
+    # round-5 fusion (gather-free edge segments + never materializing
+    # the spliced tensor) costs nothing over "interior" at the bench
+    # decode shape (118.3k vs 116.0k frames/s — within scatter).
+    # "interior": skip the splice (every frame sees real neighbor
+    # samples); deviation vs the torch reference bounded <0.02 at the
+    # edges — see docs/performance.md for the ladder.
     window_edge: str = "reflect"
 
     @property
@@ -509,17 +555,53 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
             norm = (jnp.maximum(window_db - wmax, -80.0) + 80.0) / 80.0
             return norm[..., : self.window_frames, :], norm[..., -3:, :]
 
-        def splice_edges(windows, starts_samples):
-            """Replace the first/last n_edge mel rows of each gathered
-            window with the reference's reflect-padded per-window STFT
-            rows — the only rows where the global STFT differs
-            (_reflect_edge_rows)."""
+        def spliced_features(windows, starts_samples):
+            """window_features of the gathered windows with the first/last
+            n_edge mel rows replaced by the reference's reflect-padded
+            per-window STFT rows — the only rows where the global STFT
+            differs (_reflect_edge_rows).
+
+            The spliced ``(B, n, 257, 80)`` window tensor is NEVER built:
+            the window max folds the tiny edge-row maxima into a
+            statically-sliced interior reduce, and ``mel``/``detail`` are
+            assembled per-output from static slices of the gathered
+            windows plus the ``(B, n, n_edge, 80)`` edge rows. ``mel`` is
+            materialized anyway as the attention dot input, so this path
+            adds no full-size HBM buffer over ``window_edge="interior"``
+            — the earlier concat/select formulations round-tripped the
+            42 MB spliced buffer and cost ~27% of decode throughput
+            (BENCH_r04 84.2k vs 115.9k frames/s; docs/performance.md)."""
             e0, ew = _reflect_edge_rows(
                 audio, starts_samples, self.window_frames * hop,
                 cfg.n_fft, hop, fb)
             ne = e0.shape[2]
-            return jnp.concatenate(
-                [e0, windows[:, :, ne:-ne], ew], axis=2)
+            w = windows.shape[2]
+            wmax = jnp.maximum(
+                jnp.max(windows[:, :, ne:w - ne], axis=(-2, -1),
+                        keepdims=True),
+                jnp.maximum(
+                    jnp.max(e0, axis=(-2, -1), keepdims=True),
+                    jnp.max(ew, axis=(-2, -1), keepdims=True)))
+
+            def norm(x):
+                return (jnp.maximum(x - wmax, -80.0) + 80.0) / 80.0
+
+            def rows(lo, hi):
+                """Normalized spliced rows [lo, hi): row r comes from e0
+                if r < ne, from ew if r >= w - ne, else from windows."""
+                parts = []
+                if lo < ne:
+                    parts.append(norm(e0[:, :, lo:min(hi, ne)]))
+                m_lo, m_hi = max(lo, ne), min(hi, w - ne)
+                if m_lo < m_hi:
+                    parts.append(norm(windows[:, :, m_lo:m_hi]))
+                if hi > w - ne:
+                    parts.append(norm(
+                        ew[:, :, max(lo - (w - ne), 0):hi - (w - ne)]))
+                return (jnp.concatenate(parts, axis=2)
+                        if len(parts) > 1 else parts[0])
+
+            return rows(0, self.window_frames), rows(w - 3, w)
 
         def decode_windows(start_idx: np.ndarray):
             """Decode the windows starting at these frame indices in one
@@ -533,11 +615,12 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                 g = jnp.asarray(start_idx[:, None]
                                 + np.arange(w_frames)[None, :])
                 windows = jnp.take(log_mel, g, axis=1)    # (B,n,257,80)
-                if self.window_edge == "reflect":
-                    # static offsets -> static gather inside the splice
-                    windows = splice_edges(
-                        windows, np.asarray(start_idx) * hop)
-            mel_w, detail_w = window_features(windows)
+            if not self.exact_window_stft and self.window_edge == "reflect":
+                # static offsets -> static gather inside the splice
+                mel_w, detail_w = spliced_features(
+                    windows, np.asarray(start_idx) * hop)
+            else:
+                mel_w, detail_w = window_features(windows)
             # emotion rows are per-utterance; at inference the attention
             # module runs its emotion branch at B rows and repeats across
             # each utterance's n windows. In TRAINING mode the rows are
@@ -573,8 +656,9 @@ class SequentialDualStreamModel(SimplifiedDualStreamModel):
                 log_mel, g.reshape(b, -1)[..., None], axis=1)
             windows = windows.reshape(b, n, w_frames, log_mel.shape[-1])
             if self.window_edge == "reflect":
-                windows = splice_edges(windows, ws * hop)
-            mel_w, detail_w = window_features(windows)
+                mel_w, detail_w = spliced_features(windows, ws * hop)
+            else:
+                mel_w, detail_w = window_features(windows)
             # emotion rows are per-utterance; at inference the attention
             # module runs its emotion branch at B rows and repeats across
             # each utterance's n windows. In TRAINING mode the rows are
