@@ -18,8 +18,10 @@ rows carry analytic tests against closed-form ground truth
 docs/egemaps_parity.md). Bit-parity with the OpenSMILE binary is not
 asserted in-image (no recorded goldens can ship from this machine —
 scripts/egemaps_goldens.py records them wherever `pip install opensmile`
-works); known structural deviations (YIN tracker vs SHS+Viterbi,
-half-window jitter fallback below ~95 Hz) are quantified in the parity
+works); the known structural deviations have in-image closers — the
+YIN-vs-SHS+Viterbi octave decisions via `f0_smoother="viterbi"`, the
+low-pitch jitter frames via 1024-sample long frames
+(`jitter_long_frames`) — with the residuals quantified in the parity
 doc.
 
 Everything jits; the hot path is: reshape framing (no TPU gathers) ->
@@ -40,7 +42,7 @@ import numpy as np
 from koemorph_tpu.ops.f0 import yin_core
 from koemorph_tpu.ops.gatherless import select_columns
 from koemorph_tpu.ops.mel import hz_to_mel, mel_filterbank, mel_to_hz
-from koemorph_tpu.ops.window import hann_window
+from koemorph_tpu.ops.window import frame_signal, hann_window
 
 # ---------------------------------------------------------------------------
 # feature name layout (88)
@@ -127,6 +129,28 @@ class EgemapsConfig:
     # round-3 tier); frames whose pitch is too low for any consecutive
     # pair fall back to it per frame either way.
     jitter_cycles: int = 8
+    # Low-pitch per-cycle jitter (VERDICT r4 item 4): frames whose period
+    # is too long for a consecutive cycle pair to fit the 512-sample YIN
+    # frame (F0 < ~95 Hz — common in low male voices) re-run the cycle
+    # segmentation over a 1024-sample analysis frame ENDING at the same
+    # sample (512 samples of left context: the previous samples in a
+    # monolithic call, an audio-tail carry in chunked streaming, zeros
+    # at stream start where cycles overlapping the unknown region are
+    # masked invalid). Extends exact consecutive-cycle jitter down to
+    # F0 >= ~47 Hz; engaged only when cfg.f0_min admits such periods
+    # (trace-time branch), and only consulted on frames the 512-sample
+    # path cannot serve.
+    jitter_long_frames: bool = True
+    # Pitch-contour decision layer: "viterbi" replaces YIN's per-frame
+    # first-dip pick with a DP path over the top CMNDF dip candidates
+    # (ops/f0.py _viterbi_pick) — octave-robust on creaky/diplophonic
+    # stretches, the decision OpenSMILE makes with SHS+Viterbi. Off by
+    # default: the path couples frames, so the chunked streaming path
+    # smooths per refresh block rather than globally (monolithic and
+    # chunked results then differ near chunk boundaries on ambiguous
+    # frames — the bit-exact incremental==batch guarantee holds only
+    # for "none"), and "none" is the round-4 parity-pinned contour.
+    f0_smoother: str = "none"
 
 
 # ---------------------------------------------------------------------------
@@ -446,14 +470,37 @@ class LldCarry(NamedTuple):
     prev_period: Optional[jnp.ndarray] = None   # (...,) seconds
     prev_voiced: Optional[jnp.ndarray] = None   # (...,) bool
     prev_amp: Optional[jnp.ndarray] = None      # (...,) frame RMS
+    # low-pitch jitter long-frame context (jitter_long_frames): the 512
+    # samples immediately before the next chunk's first sample, and how
+    # many of them are real stream samples (vs the zero prefill a
+    # stream/monolithic call starts from) — cycles overlapping the zero
+    # region are masked invalid so chunked == monolithic exactly.
+    audio_tail: Optional[jnp.ndarray] = None    # (..., 512)
+    ctx_filled: Optional[jnp.ndarray] = None    # (...,) int32 in [0, 512]
+
+
+def _long_jitter_active(cfg: EgemapsConfig) -> bool:
+    """Trace-time gate for the 1024-sample low-pitch jitter path: only
+    when some in-range period has no consecutive cycle pair in the
+    512-sample YIN frame (3*tau + ~7 > 511, i.e. f0_min < ~95 Hz)."""
+    if not (cfg.per_period_voice_quality and cfg.jitter_cycles
+            and cfg.jitter_long_frames):
+        return False
+    tau_max = int(np.ceil(cfg.sample_rate / cfg.f0_min))
+    return 3 * tau_max + 7 > 511
 
 
 def silence_lld_carry(cfg: EgemapsConfig = EgemapsConfig()) -> LldCarry:
     """Carry representing preceding silence (stream start)."""
     n_bins = cfg.n_fft // 2 + 1
+    long_fields = {}
+    if _long_jitter_active(cfg):
+        long_fields = dict(audio_tail=jnp.zeros((512,), jnp.float32),
+                           ctx_filled=jnp.zeros((), jnp.int32))
     if cfg.per_period_voice_quality:
         return LldCarry(
             prev_mag=jnp.full((n_bins,), 1e-10, jnp.float32),
+            **long_fields,
         )
     return LldCarry(
         prev_mag=jnp.full((n_bins,), 1e-10, jnp.float32),
@@ -542,23 +589,74 @@ def compute_lld_block(
                     hop_length=hop, f0_min=cfg.f0_min, f0_max=cfg.f0_max,
                     center=False, n_acf_lags=n_acf, precision=cfg.precision,
                     subwindow_periods=per_period,
-                    cycle_periods=cfg.jitter_cycles if per_period else 0)
+                    cycle_periods=cfg.jitter_cycles if per_period else 0,
+                    smoother=cfg.f0_smoother)
     f0 = core.result.f0_hz
     voiced = core.result.voiced_flag
+
+    # --- low-pitch per-cycle jitter: 1024-sample frames ending at the
+    # same sample as each 512-sample YIN frame (512 samples of left
+    # context from the carry; zeros at stream/monolithic start, with
+    # cycles overlapping the zero region masked invalid so chunked ==
+    # monolithic exactly). Periods too long for a consecutive pair in
+    # 512 samples (F0 < ~95 Hz) get exact cycle pairs here instead of
+    # the half-window fallback. ---
+    cycles_long = None
+    new_tail = new_ctx = None
+    if _long_jitter_active(cfg):
+        from koemorph_tpu.ops.f0 import _per_cycle_periods
+
+        n_new = f0.shape[-1]
+        lead = chunk.shape[:-1]
+        if carry is None or carry.audio_tail is None:
+            audio_tail = jnp.zeros(lead + (512,), chunk.dtype)
+            ctx_filled = jnp.zeros(lead, jnp.int32)
+        else:
+            audio_tail, ctx_filled = carry.audio_tail, carry.ctx_filled
+        ext = jnp.concatenate([audio_tail, chunk], axis=-1)
+        frames_long = frame_signal(ext, 1024, hop, center=False)
+        tau_max = int(np.ceil(cfg.sample_rate / cfg.f0_min))
+        # 5 slots cover every period the 512-frame path cannot serve
+        # (tau > ~168 fits at most 5 cycles in 1024 samples). The
+        # search band doubles to ±16: jitter is RELATIVE, so the same
+        # 4% alternation that fits ±8 at 100-sample periods needs ±16
+        # at 200+ — and YIN's pick can lock onto ONE of two alternating
+        # periods, putting the other exactly on a ±8 band edge (which
+        # the band-edge validity check would then discard).
+        cp_l, cv_l = _per_cycle_periods(
+            frames_long, tau_max, core.pick, core.tau,
+            n_cycles=min(int(cfg.jitter_cycles), 5), half_lag=16)
+        # cycles that start inside the zero-context region compare
+        # prefill zeros, not stream samples - invalid
+        t_off = jnp.arange(n_new, dtype=jnp.int32) * hop
+        ctx_row = jnp.minimum(ctx_filled[..., None] + t_off, 512)
+        zero_len = (512 - ctx_row).astype(jnp.float32)
+        k_row = jnp.arange(cp_l.shape[-1], dtype=jnp.float32)
+        cv_l = cv_l & (k_row * core.tau[..., None]
+                       >= zero_len[..., None] - 1e-3)
+        cycles_long = (cp_l, cv_l)
+        new_tail = jnp.concatenate(
+            [audio_tail, chunk[..., : n_new * hop]], axis=-1)[..., -512:]
+        new_ctx = jnp.minimum(ctx_filled + n_new * hop, 512)
 
     # 25 ms spectral frames = centered slice of the 512-sample YIN frames
     # (identical values to re-framing the chunk, at zero framing cost)
     off = (512 - cfg.frame_length) // 2
     frames = core.frames[..., off:off + cfg.frame_length]
     wframes = frames * hann_window(cfg.frame_length)
-    return _lld_math(frames, wframes, f0, voiced, cfg, carry=carry,
-                     yin_acf=core.acf,
-                     yin_frames=core.frames if per_period else None,
-                     subwindow_periods=(core.period_first,
-                                        core.period_second)
-                     if per_period else None,
-                     cycle_periods=(core.cycle_period, core.cycle_valid)
-                     if per_period and cfg.jitter_cycles else None)
+    lld, new_carry = _lld_math(
+        frames, wframes, f0, voiced, cfg, carry=carry,
+        yin_acf=core.acf,
+        yin_frames=core.frames if per_period else None,
+        subwindow_periods=(core.period_first, core.period_second)
+        if per_period else None,
+        cycle_periods=(core.cycle_period, core.cycle_valid)
+        if per_period and cfg.jitter_cycles else None,
+        cycle_periods_long=cycles_long)
+    if new_tail is not None:
+        new_carry = new_carry._replace(audio_tail=new_tail,
+                                       ctx_filled=new_ctx)
+    return lld, new_carry
 
 
 def _lld_math(
@@ -572,6 +670,7 @@ def _lld_math(
     yin_frames: jnp.ndarray | None = None,   # (..., T, 512) YIN frames
     subwindow_periods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     cycle_periods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    cycle_periods_long: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[dict[str, jnp.ndarray], LldCarry]:
     """Shared LLD math. ``carry=None`` duplicates spectral flux's first
     frame as its predecessor (zero flux at frame 0 — the monolithic
@@ -628,28 +727,47 @@ def _lld_math(
     # periods). The primary estimate segments actual glottal cycles
     # (ops/f0.py _per_cycle_periods — OpenSMILE's exact segmentation);
     # frames whose pitch is too low for any consecutive cycle pair to
-    # fit the YIN frame (F0 < ~95 Hz) fall back to the two half-window
-    # period estimates ~5.5 ms apart. ---
+    # fit the 512-sample YIN frame (F0 < ~95 Hz) are served by the
+    # 1024-sample long-frame segmentation (cycle_periods_long); only
+    # frames with no valid pair at either length fall back to the two
+    # half-window period estimates ~5.5 ms apart. ---
     if subwindow_periods is not None:
         p1, p2 = subwindow_periods
         ok = voiced & (p1 > 0) & (p2 > 0)
         jitter = jnp.where(
             ok, jnp.abs(p2 - p1) / jnp.maximum(0.5 * (p1 + p2), 1e-6), 0.0)
         jitter_valid = ok
-        if cycle_periods is not None:
-            t_k, v_k = cycle_periods              # (..., T, K)
+
+        def _pair_jitter(t_k, v_k):
+            """Mean |consecutive cycle-period difference| / mean period
+            over the valid cycle pairs, and the pair count."""
             pair = (v_k[..., :-1] & v_k[..., 1:]).astype(t_k.dtype)
             n_pair = jnp.sum(pair, axis=-1)
             d_t = jnp.abs(t_k[..., 1:] - t_k[..., :-1])
             vf = v_k.astype(t_k.dtype)
             mean_t = (jnp.sum(t_k * vf, axis=-1)
                       / jnp.maximum(jnp.sum(vf, axis=-1), 1.0))
-            jitter_cyc = (jnp.sum(d_t * pair, axis=-1)
-                          / jnp.maximum(n_pair, 1.0)
-                          / jnp.maximum(mean_t, 1e-6))
+            j = (jnp.sum(d_t * pair, axis=-1)
+                 / jnp.maximum(n_pair, 1.0)
+                 / jnp.maximum(mean_t, 1e-6))
+            return j, n_pair
+
+        has_cycles = None
+        if cycle_periods is not None:
+            jitter_cyc, n_pair = _pair_jitter(*cycle_periods)
             has_cycles = voiced & (n_pair >= 1.0)
             jitter = jnp.where(has_cycles, jitter_cyc, jitter)
             jitter_valid = jitter_valid | has_cycles
+        if cycle_periods_long is not None:
+            # low-pitch frames (no pair in the 512-sample frame) get
+            # exact pairs from the 1024-sample frames; frames the short
+            # path already serves keep its estimate
+            jitter_long, n_pair_l = _pair_jitter(*cycle_periods_long)
+            has_long = voiced & (n_pair_l >= 1.0)
+            if has_cycles is not None:
+                has_long = has_long & ~has_cycles
+            jitter = jnp.where(has_long, jitter_long, jitter)
+            jitter_valid = jitter_valid | has_long
     else:
         # fallback (no YIN sub-window data): frame-to-frame F0 deltas.
         # A carry with continuity fields supplies the previous chunk's

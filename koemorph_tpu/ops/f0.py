@@ -57,6 +57,12 @@ class YinCore(NamedTuple):
     # frame. None when cycle_periods=0.
     cycle_period: Optional[jnp.ndarray] = None  # (..., T, K)
     cycle_valid: Optional[jnp.ndarray] = None   # (..., T, K) bool
+    # frame-level YIN pick (integer lag, post-smoother) and its
+    # sub-sample refinement — callers running the per-cycle machinery
+    # on their own longer analysis frames (the eGeMAPS low-pitch jitter
+    # path) reuse these instead of re-deriving the contour.
+    pick: Optional[jnp.ndarray] = None          # (..., T) int32
+    tau: Optional[jnp.ndarray] = None           # (..., T) float
 
 
 @functools.lru_cache(maxsize=16)
@@ -251,16 +257,18 @@ def yin_f0(
     f0_max: float = 400.0,
     threshold: float = 0.15,
     center: bool = True,
+    smoother: str = "none",
 ) -> F0Result:
     """Per-frame F0 of ``audio (..., L)`` -> (..., T) Hz.
 
     Frames with CMNDF minimum above ~3x threshold are marked unvoiced with
-    f0 = 0 (librosa.pyin ``fill_na=0`` semantics).
+    f0 = 0 (librosa.pyin ``fill_na=0`` semantics). ``smoother="viterbi"``
+    selects the octave-robust DP contour tracker (:func:`_viterbi_pick`).
     """
     return yin_core(
         audio, sample_rate=sample_rate, frame_length=frame_length,
         hop_length=hop_length, f0_min=f0_min, f0_max=f0_max,
-        threshold=threshold, center=center).result
+        threshold=threshold, center=center, smoother=smoother).result
 
 
 def yin_core(
@@ -277,6 +285,7 @@ def yin_core(
     precision: str = "highest",
     subwindow_periods: bool = False,
     cycle_periods: int = 0,
+    smoother: str = "none",
 ) -> YinCore:
     """:func:`yin_f0` plus the frames and full-frame autocorrelation it
     computed along the way (see :class:`YinCore`). ``n_acf_lags`` extends
@@ -291,7 +300,19 @@ def yin_core(
     estimates sit ~W/2 samples apart (~5.5 ms at 16 kHz / frame 512),
     i.e. at glottal-cycle granularity for speech F0 — the eGeMAPS
     per-period jitter is computed from their difference instead of
-    from 10 ms frame-to-frame F0 deltas."""
+    from 10 ms frame-to-frame F0 deltas.
+
+    ``smoother="viterbi"`` replaces YIN's per-frame first-dip pick with
+    a dynamic-programming path over the top CMNDF dip candidates
+    (:func:`_viterbi_pick`) — octave-robust contour tracking in the
+    spirit of OpenSMILE's SHS+Viterbi pitch smoother (consumed by the
+    reference via opensmile, src/features/opensmile_extractor.py:
+    227-235). Off by default: the path couples frames, so chunked
+    streaming calls smooth per block rather than globally, and the
+    unsmoothed contour is the parity-pinned round-4 behavior."""
+    if smoother not in ("none", "viterbi"):
+        raise ValueError(f"smoother must be 'none' or 'viterbi', "
+                         f"got {smoother!r}")
     tau_min, tau_max = _tau_range(sample_rate, f0_min, f0_max)
     if frame_length <= tau_max + 8:
         raise ValueError(
@@ -315,6 +336,14 @@ def yin_core(
     idx = jnp.argmax(candidate, axis=-1)             # first qualifying dip
     idx_min = jnp.argmin(region, axis=-1)            # global min fallback
     pick = jnp.where(any_below[..., 0], idx, idx_min) + tau_min
+    if smoother == "viterbi":
+        # periodicity hint from the GLOBAL CMNDF minimum (candidate-
+        # independent): frames with no deep dip anywhere stay free
+        # resets in the DP so noise cannot drag the contour
+        rms_hint = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+        hint = (jnp.min(region, axis=-1) < 3.0 * threshold) & (
+            rms_hint > 1e-4)
+        pick = _viterbi_pick(dprime, tau_min=tau_min, voiced_hint=hint)
 
     # parabolic interpolation around pick — gather-free lookups
     # (ops/gatherless.py: the TPU row-loop gather this replaces measured
@@ -360,7 +389,119 @@ def yin_core(
         cp = cv = None
     return YinCore(result=result, frames=frames, acf=acf,
                    period_first=p1, period_second=p2,
-                   cycle_period=cp, cycle_valid=cv)
+                   cycle_period=cp, cycle_valid=cv,
+                   pick=pick.astype(jnp.int32), tau=tau_refined)
+
+
+def _viterbi_pick(dprime: jnp.ndarray, *, tau_min: int,
+                  voiced_hint: jnp.ndarray,
+                  n_candidates: int = 5,
+                  transition_cost: float = 4.0,
+                  octave_cost: float = 0.1) -> jnp.ndarray:
+    """Octave-robust pitch pick: a Viterbi path over CMNDF dip candidates.
+
+    Plain YIN decides each frame independently (first dip below
+    threshold), so a creaky/diplophonic stretch — alternating-amplitude
+    glottal cycles, whose CMNDF dips at BOTH the cycle lag and its
+    double — flips the contour down an octave frame by frame. OpenSMILE
+    tracks pitch with SHS candidates + a Viterbi smoother (consumed by
+    the reference via opensmile, src/features/opensmile_extractor.py:
+    227-235); this is the equivalent decision layer over YIN evidence:
+
+    - candidates: the ``n_candidates`` best CMNDF local minima per frame
+      (iterative masked argmin, a ±25%-of-period exclusion zone around
+      each winner — pure elementwise passes, no gathers);
+    - emission cost: the candidate's CMNDF value plus
+      ``octave_cost * log2(lag / tau_min)`` (Praat-style mild preference
+      for the higher-F0 interpretation of ambiguous evidence);
+    - transition cost: ``transition_cost * |log2(lag_t / lag_{t-1})|``
+      between consecutive frames that are both periodic
+      (``voiced_hint``); unvoiced gaps reset the chain for free, so
+      silence cannot drag the contour;
+    - one forward ``lax.scan`` over frames (O(T * N^2) on (R, N, N)
+      blocks), backpointer backtrack in a second reversed scan.
+
+    Costs are calibrated against each other: a one-octave flip must beat
+    ``2 * transition_cost`` (enter + leave) plus the per-frame octave
+    bias, so brief subharmonic evidence rides through while a genuine
+    sustained octave change (whose dips stay better for many frames)
+    still wins — the DP is globally optimal, not sticky.
+
+    Args:
+        dprime: (..., T, n_lags) CMNDF.
+        voiced_hint: (..., T) bool — frame shows periodicity at all.
+
+    Returns:
+        (..., T) int32 chosen lag (same units/range as the plain pick).
+    """
+    import jax
+    from koemorph_tpu.ops.gatherless import select_columns
+
+    lead = dprime.shape[:-2]
+    t_frames, m = dprime.shape[-2], dprime.shape[-1] - tau_min
+    region = dprime[..., tau_min:].reshape(-1, t_frames, m)
+    hint = voiced_hint.reshape(-1, t_frames)
+    r = region.shape[0]
+
+    # ---- top-N local minima per frame (masked argmin extraction) ----
+    iota = jnp.arange(m, dtype=jnp.float32)
+    masked = region
+    picks, vals = [], []
+    for _ in range(n_candidates):
+        cidx = jnp.argmin(masked, axis=-1)                  # (R, T)
+        picks.append(cidx)
+        vals.append(jnp.min(masked, axis=-1))
+        # exclusion zone: ±25% of the winning period, so the same dip's
+        # shoulder cannot reappear as a fresh candidate
+        excl = 0.25 * (cidx.astype(jnp.float32) + tau_min)
+        near = jnp.abs(iota - cidx[..., None].astype(jnp.float32)
+                       ) < excl[..., None]
+        masked = jnp.where(near, jnp.inf, masked)
+    cand = jnp.stack(picks, axis=-1) + tau_min              # (R, T, N)
+    emit = jnp.stack(vals, axis=-1)                         # (R, T, N)
+    ltau = jnp.log2(cand.astype(jnp.float32))
+    emit = emit + octave_cost * (ltau - np.log2(tau_min))
+    # exhausted extraction slots (all-inf remainder) must never win
+    emit = jnp.where(jnp.isfinite(emit), emit, 1e9)
+
+    # ---- forward DP over frames ----
+    link = (hint[:, 1:] & hint[:, :-1]).astype(jnp.float32)  # (R, T-1)
+    link = jnp.concatenate([jnp.zeros((r, 1), jnp.float32), link], axis=1)
+
+    def fwd(carry, inp):
+        cost_prev, ltau_prev = carry
+        e_t, lt_t, lk_t = inp
+        trans = (transition_cost
+                 * jnp.abs(lt_t[:, None, :] - ltau_prev[:, :, None])
+                 * lk_t[:, None, None])                     # (R, Np, N)
+        total = cost_prev[:, :, None] + trans
+        bp = jnp.argmin(total, axis=1).astype(jnp.int32)    # (R, N)
+        cost = e_t + jnp.min(total, axis=1)
+        # renormalize so long utterances cannot overflow f32; argmins
+        # are shift-invariant
+        cost = cost - jnp.min(cost, axis=-1, keepdims=True)
+        return (cost, lt_t), bp
+
+    e_seq = jnp.moveaxis(emit, 1, 0)                        # (T, R, N)
+    l_seq = jnp.moveaxis(ltau, 1, 0)
+    k_seq = jnp.moveaxis(link, 1, 0)
+    (cost_t, _), bps = jax.lax.scan(
+        fwd, (e_seq[0], l_seq[0]), (e_seq[1:], l_seq[1:], k_seq[1:]))
+
+    # ---- backtrack ----
+    n_last = jnp.argmin(cost_t, axis=-1).astype(jnp.int32)  # (R,)
+
+    def back(n_next, bp_t):
+        n_t = select_columns(bp_t.astype(jnp.float32),
+                             n_next[:, None])[:, 0].astype(jnp.int32)
+        return n_t, n_t
+
+    _n0, path_head = jax.lax.scan(back, n_last, bps, reverse=True)
+    path = jnp.concatenate([path_head, n_last[None]], axis=0)  # (T, R)
+    path = jnp.moveaxis(path, 0, 1)                            # (R, T)
+    chosen = select_columns(cand.astype(jnp.float32),
+                            path[..., None])[..., 0]
+    return chosen.astype(jnp.int32).reshape(lead + (t_frames,))
 
 
 def _refine_period_local(d_sub: jnp.ndarray, pick: jnp.ndarray,
@@ -431,7 +572,8 @@ def _shift_rows(x: jnp.ndarray, shift: jnp.ndarray, n_out: int,
 
 def _cycle_dsum(frames: jnp.ndarray, start: jnp.ndarray,
                 tau: jnp.ndarray, *, tau_max: int, n_cycles: int,
-                half_lag: int) -> jnp.ndarray:
+                half_lag: int,
+                off: jnp.ndarray | None = None) -> jnp.ndarray:
     """Cycle-restricted difference sums d(k, o).
 
     The pick-aligned comparison span comes from the gather-free
@@ -446,6 +588,8 @@ def _cycle_dsum(frames: jnp.ndarray, start: jnp.ndarray,
         frames: (rows, n) raw YIN frames.
         start: (rows,) int32 comparison-span starts (pick - half_lag).
         tau: (rows,) float frame-level refined periods.
+        off: optional (rows,) float cycle-grid phase offsets — cycle k
+            occupies ``[off + k*tau, off + (k+1)*tau)`` (0 when None).
 
     Returns:
         (rows, n_cycles, 2*half_lag + 1) float32 sums.
@@ -461,8 +605,10 @@ def _cycle_dsum(frames: jnp.ndarray, start: jnp.ndarray,
     padded = jnp.concatenate(
         [frames, jnp.zeros((rows, pad), frames.dtype)], axis=-1)
     z = jax.lax.optimization_barrier(_shift_rows(padded, start, n, s_max))
+    if off is None:
+        off = jnp.zeros((rows,), jnp.float32)
 
-    def _xla(fr, zz, st, tu):
+    def _xla(fr, zz, st, tu, of):
         x_head = fr[..., :span]                              # (R, J)
         zs = jnp.stack([zz[..., o:o + span] for o in range(n_lag)],
                        axis=-1)                              # (R, J, L)
@@ -471,8 +617,12 @@ def _cycle_dsum(frames: jnp.ndarray, start: jnp.ndarray,
         iota = jnp.arange(span, dtype=jnp.float32)
         k_idx = jnp.arange(n_cycles, dtype=jnp.float32)[:, None]  # (K, 1)
         tau_b = tu[..., None, None]                          # (R, 1, 1)
+        off_b = of[..., None, None]
         start_b = st[..., None, None].astype(jnp.float32)
-        in_cycle = (iota >= k_idx * tau_b) & (iota < (k_idx + 1.0) * tau_b)
+        # boundaries as off + k*tau / off + (k+1)*tau, EXACTLY like the
+        # Pallas kernel's per-k compares (same rounding behavior)
+        in_cycle = ((iota >= off_b + k_idx * tau_b)
+                    & (iota < off_b + (k_idx + 1.0) * tau_b))
         # the compared sample x_{j + start + o} must be a real sample
         # for EVERY search offset (o <= 2*half_lag), so the mask is
         # offset-independent
@@ -481,11 +631,12 @@ def _cycle_dsum(frames: jnp.ndarray, start: jnp.ndarray,
         return jnp.einsum("...kj,...jl->...kl", m, e,
                           precision="highest")               # (R, K, L)
 
-    def _pallas(fr, zz, st, tu):
+    def _pallas(fr, zz, st, tu, of):
         from koemorph_tpu.ops.pallas.cycle_dsum_kernel import (
             cycle_dsum_lanes_pallas)
 
-        return cycle_dsum_lanes_pallas(fr, zz, st, tu, n_cycles=n_cycles,
+        return cycle_dsum_lanes_pallas(fr, zz, st, tu, of,
+                                       n_cycles=n_cycles,
                                        half_lag=half_lag, tau_max=tau_max)
 
     # the XLA form materializes the shifted-difference tensor and cycle
@@ -494,7 +645,7 @@ def _cycle_dsum(frames: jnp.ndarray, start: jnp.ndarray,
     # Dispatch keys off the LOWERING platform (not the default backend)
     # so CPU-placed executions on a TPU host take the XLA form —
     # pallas_call has no compiled CPU lowering.
-    return jax.lax.platform_dependent(frames, z, start, tau,
+    return jax.lax.platform_dependent(frames, z, start, tau, off,
                                       tpu=_pallas, default=_xla)
 
 
@@ -506,10 +657,12 @@ def _per_cycle_periods(frames: jnp.ndarray, tau_max: int,
     (OpenSMILE's jitterLocal segmentation, reference
     src/features/opensmile_extractor.py eGeMAPS jitter rows).
 
-    Cycle ``k`` occupies samples ``[k*tau, (k+1)*tau)`` of the frame
-    (boundaries from the frame-level period estimate ``tau`` — arithmetic
-    iota masks, no gathers). Its period is the lag minimizing the
-    cycle-restricted difference function
+    Cycle ``k`` occupies samples ``[off + k*tau, off + (k+1)*tau)`` of
+    the frame, where ``off`` phase-aligns the grid so the first cycle's
+    dominant waveform peak sits mid-window (OpenSMILE segments between
+    pitch marks; boundaries from the frame-level period estimate
+    ``tau`` — arithmetic iota masks, no gathers). Its period is the lag
+    minimizing the cycle-restricted difference function
 
         d_k(o) = sum_{j in cycle k} (x_j - x_{j + pick - half_lag + o})^2
 
@@ -548,10 +701,23 @@ def _per_cycle_periods(frames: jnp.ndarray, tau_max: int,
     start = jnp.clip(pick - half_lag, 0, tau_max + half_lag)
     import jax
 
+    # phase-align the cycle grid to the first cycle's dominant |x| peak
+    # so cycle windows CENTER the glottal pulses (OpenSMILE segments
+    # between pitch marks; a fixed-phase grid straddles or misses
+    # pulses — at 20% duty cycle that alternated 2-pulse and 0-pulse
+    # windows, invalidating most cycles via the band-edge check).
+    # One masked argmax per frame, fused elementwise — no gathers.
+    iota_n = jnp.arange(n, dtype=jnp.float32)
+    m0 = iota_n < jnp.ceil(tau)[..., None]
+    p0 = jnp.argmax(jnp.where(m0, jnp.abs(frames), -1.0),
+                    axis=-1).astype(jnp.float32)
+    grid_off = jnp.maximum(p0 - 0.5 * tau, 0.0)
+
     d = _cycle_dsum(frames.reshape(-1, n),
                     start.reshape(-1).astype(jnp.int32),
                     tau.reshape(-1), tau_max=tau_max,
-                    n_cycles=n_cycles, half_lag=half_lag)
+                    n_cycles=n_cycles, half_lag=half_lag,
+                    off=grid_off.reshape(-1))
     d = d.reshape(frames.shape[:-1] + (n_cycles, n_lag))
     # d feeds argmin/min AND the parabola's neighbor lookups; the
     # barrier keeps the einsum from being re-fused into each consumer
@@ -574,8 +740,19 @@ def _per_cycle_periods(frames: jnp.ndarray, tau_max: int,
                + o_star.astype(jnp.float32) + jnp.clip(off, -1.0, 1.0))
 
     k_row = jnp.arange(n_cycles, dtype=jnp.float32)
-    valid = ((tau[..., None] > 0)
-             & ((k_row + 1.0) * tau[..., None] - 1.0
+    # the in-cycle mask (_cycle_dsum) includes samples up to
+    # ceil(off + (k+1)*tau) - 1, so validity must bound that exact
+    # sample — (k+1)*tau - 1 would mark a cycle valid while sample_ok
+    # zeroes its final sample for non-integer tau
+    last_sample = jnp.ceil(grid_off[..., None]
+                           + (k_row + 1.0) * tau[..., None]) - 1.0
+    # band-edge argmin (o_star at 0 or n_lag-1) means the true period
+    # lies outside the ±half_lag search band and the estimate saturated
+    # at pick±half_lag — mark the cycle invalid rather than feed a
+    # clamped period into the jitter mean (strong diplophonia case)
+    in_band = (o_star > 0) & (o_star < n_lag - 1)
+    valid = ((tau[..., None] > 0) & in_band
+             & (last_sample
                 + start.astype(jnp.float32)[..., None] + 2.0 * half_lag
                 <= n - 1.0))
     return periods, valid

