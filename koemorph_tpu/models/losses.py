@@ -127,16 +127,19 @@ def koemorph_loss(
         w = w / (jnp.mean(w) + c.eps)
     else:
         w = None
+    # metrics record the UNWEIGHTED means so 'mse'/'l1' stay plain
+    # MSE/MAE comparable across active_weight settings (advisor r4);
+    # active_weight scales only the loss terms
     if c.mse_weight > 0:
-        mse = jnp.mean((pred - target) ** 2 if w is None
-                       else w * (pred - target) ** 2)
+        mse_plain = jnp.mean((pred - target) ** 2)
+        mse = mse_plain if w is None else jnp.mean(w * (pred - target) ** 2)
         losses["mse"] = c.mse_weight * mse
-        metrics["mse"] = mse
+        metrics["mse"] = mse_plain
     if c.l1_weight > 0:
-        l1 = jnp.mean(jnp.abs(pred - target) if w is None
-                      else w * jnp.abs(pred - target))
+        l1_plain = jnp.mean(jnp.abs(pred - target))
+        l1 = l1_plain if w is None else jnp.mean(w * jnp.abs(pred - target))
         losses["l1"] = c.l1_weight * l1
-        metrics["l1"] = l1
+        metrics["l1"] = l1_plain
     if c.perceptual_weight > 0:
         p = perceptual_loss(pred, target, audio_features)
         losses["perceptual"] = c.perceptual_weight * p

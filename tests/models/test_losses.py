@@ -36,10 +36,16 @@ class TestKoeMorphLoss:
         cfg = KoeMorphLossConfig(active_weight=4.0, perceptual_weight=0.0,
                                  landmark_weight=0.0, sparsity_weight=0.0,
                                  smoothness_weight=0.0)
-        mse_a = float(koemorph_loss(err_active, target, config=cfg)[1]["mse"])
-        mse_i = float(koemorph_loss(err_inactive, target,
-                                    config=cfg)[1]["mse"])
-        assert mse_a > 2.0 * mse_i
+        tot_a, met_a = koemorph_loss(err_active, target, config=cfg)
+        tot_i, met_i = koemorph_loss(err_inactive, target, config=cfg)
+        assert float(tot_a) > 2.0 * float(tot_i)
+        # metrics stay UNWEIGHTED (advisor r4): same error mass -> same
+        # reported mse/l1 regardless of which element carries it, so
+        # 'l1' == MAE is comparable across active_weight settings
+        np.testing.assert_allclose(float(met_a["mse"]), float(met_i["mse"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(met_a["l1"]), float(met_a["mae"]),
+                                   rtol=1e-6)
         # weights renormalize to mean 1: identical pred/target still 0,
         # and active_weight=1.0 reproduces the plain mean exactly
         assert float(koemorph_loss(target, target, config=cfg)[1]["mse"]) == 0

@@ -140,6 +140,20 @@ class TestTensorParallelForwardBackward:
         p2, loss2 = step(p_tp, opt_tp, jax.device_put(audio, sh),
                          jax.device_put(targets, sh))
         np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        # raw gradients at TIGHT tolerance (advisor r4): the post-step
+        # params below get a looser gate because Adam's early-step rsqrt
+        # amplifies reduction-order noise; the pre-Adam gradients are
+        # where tensor-parallel correctness is actually measurable, so a
+        # TP regression cannot hide behind the optimizer's amplification
+        g1 = jax.jit(jax.grad(loss_fn))(params, audio, targets)
+        g2 = jax.jit(jax.grad(loss_fn))(p_tp, jax.device_put(audio, sh),
+                                        jax.device_put(targets, sh))
+        for x, y in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            xa = np.asarray(x)
+            np.testing.assert_allclose(
+                xa, np.asarray(y), rtol=1e-5,
+                atol=1e-7 * max(np.abs(xa).max(), 1e-3))
         for x, y in zip(jax.tree_util.tree_leaves(p1),
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
