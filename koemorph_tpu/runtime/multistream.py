@@ -415,7 +415,9 @@ class MultiStreamInference:
         }
 
     def performance_stats(self) -> dict:
-        """Dispatch-path stats for the per-step serving loop."""
+        """Dispatch-path stats for the per-step serving loop (the last
+        ``step_times.maxlen`` ticks; p50/p99 feed the live-loop serving
+        validation — VERDICT r4 item 6)."""
         if not self.step_times:
             return {"frames": 0}
         times = np.asarray(self.step_times)
@@ -424,6 +426,8 @@ class MultiStreamInference:
             "sessions": self.n_sessions,
             "frames": self.frames_emitted,
             "avg_step_ms": float(times.mean() * 1e3),
+            "p50_step_ms": float(np.percentile(times, 50) * 1e3),
+            "p99_step_ms": float(np.percentile(times, 99) * 1e3),
             "max_step_ms": float(times.max() * 1e3),
             "rtf": float(times.mean() / budget),
         }

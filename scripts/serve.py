@@ -231,6 +231,34 @@ def _load_replay_lanes(paths: list[str], sessions: int, sample_rate: int,
     return block
 
 
+def _emit_stats(server, sender, *, mode: str, ticks: int, elapsed: float,
+                work_s: list[float], late: int, ingest=None) -> None:
+    """One JSON line of live-loop serving stats on stdout — the number
+    the scan-probe capacity is validated against (VERDICT r4 item 6):
+    sustained tick rate through the REAL ingest->step->emit loop, the
+    full per-tick host+device work wall (not just dispatch), and
+    drop/overflow accounting."""
+    w = np.asarray(work_s) if work_s else np.zeros(1)
+    stats = {
+        "mode": mode,
+        "ticks": ticks,
+        "sustained_fps": round(ticks / elapsed, 2) if elapsed > 0 else 0.0,
+        "target_fps": server.cfg.target_fps,
+        "work_p50_ms": round(float(np.percentile(w, 50)) * 1e3, 3),
+        "work_p99_ms": round(float(np.percentile(w, 99)) * 1e3, 3),
+        "work_max_ms": round(float(w.max()) * 1e3, 3),
+        "late_ticks": late,
+        "late_frac": round(late / max(ticks, 1), 4),
+        "frames_sent": sender.frames_sent,
+        "step": {k: round(v, 3) if isinstance(v, float) else v
+                 for k, v in server.performance_stats().items()},
+    }
+    if ingest is not None:
+        stats["dropped_datagrams"] = ingest.dropped_datagrams
+        stats["overflowed_samples"] = ingest.overflowed_samples
+    print(json.dumps({"performance_stats": stats}), flush=True)
+
+
 def serve_replay(server, sender, args) -> int:
     hop = server.cfg.hop_length
     lanes = _load_replay_lanes(args.replay, args.sessions,
@@ -241,21 +269,31 @@ def serve_replay(server, sender, args) -> int:
     budget = hop / args.sample_rate
     logger.info("replay: %d sessions x %d frames", args.sessions, n_frames)
     server.warmup()
+    work_s: list[float] = []
+    late = 0
     next_tick = time.perf_counter()
+    t_start = time.perf_counter()
     for t in range(n_frames):
         if not args.no_realtime:
             now = time.perf_counter()
             if now < next_tick:
                 time.sleep(next_tick - now)
             next_tick += budget
+        w0 = time.perf_counter()
         frames = np.asarray(
             server.step(lanes[:, t * hop: (t + 1) * hop]))
         sender.send(frames, time.time())
+        work_s.append(time.perf_counter() - w0)
+        if not args.no_realtime and time.perf_counter() > next_tick:
+            late += 1                    # tick finished past its deadline
         if args.stats_every and (t + 1) % args.stats_every == 0:
             ms = 1e3 * float(np.mean(server.step_times or [0.0]))
             logger.info("frame %d/%d  step %.2f ms (%d sessions)",
                         t + 1, n_frames, ms, args.sessions)
+    elapsed = time.perf_counter() - t_start
     logger.info("done: %d frames sent", sender.frames_sent)
+    _emit_stats(server, sender, mode="replay", ticks=n_frames,
+                elapsed=elapsed, work_s=work_s, late=late)
     return 0
 
 
@@ -273,6 +311,9 @@ def serve_listen(server, sender, args) -> int:
     # lanes are fresh at startup, so this is a state no-op)
     server.reset_sessions([0])
     sent = 0
+    work_s: list[float] = []
+    late = 0
+    t_start = time.perf_counter()
     next_tick = time.perf_counter() + budget
     try:
         while args.max_frames is None or sent < args.max_frames:
@@ -300,6 +341,7 @@ def serve_listen(server, sender, args) -> int:
             # resync after overload: a deadline that fell behind the wall
             # clock would otherwise make every later tick skip its
             # block-drain phase forever
+            behind = time.perf_counter() > next_tick + budget
             next_tick = max(next_tick + budget, time.perf_counter())
             resets = ingest.take_resets()
             for sid in resets:
@@ -308,8 +350,12 @@ def serve_listen(server, sender, args) -> int:
                 server.reset_sessions([sid])
             if resets:
                 logger.info("reset sessions %s", resets)
+            w0 = time.perf_counter()
             frames = np.asarray(server.step(ingest.take_block()))
             sender.send(frames, time.time())
+            work_s.append(time.perf_counter() - w0)
+            if behind:
+                late += 1
             sent += 1
             if args.stats_every and sent % args.stats_every == 0:
                 ms = 1e3 * float(np.mean(server.step_times or [0.0]))
@@ -323,6 +369,9 @@ def serve_listen(server, sender, args) -> int:
         sock.close()
     logger.info("done: %d ticks, %d frames sent, %d dropped datagrams",
                 sent, sender.frames_sent, ingest.dropped_datagrams)
+    _emit_stats(server, sender, mode="listen", ticks=sent,
+                elapsed=time.perf_counter() - t_start, work_s=work_s,
+                late=late, ingest=ingest)
     return 0
 
 

@@ -125,6 +125,16 @@ class TestServeCli:
         assert all(len(row["blendshapes"]) == 52 for row in rows)
         assert all(0.0 <= v <= 1.0
                    for row in rows for v in row["blendshapes"])
+        # live-loop stats line (VERDICT r4 item 6): sustained rate, full
+        # per-tick work wall percentiles, and the dispatch-path stats
+        stats_lines = [l for l in r.stdout.splitlines()
+                       if '"performance_stats"' in l]
+        assert stats_lines, r.stdout[-500:]
+        st = json.loads(stats_lines[-1])["performance_stats"]
+        assert st["mode"] == "replay" and st["ticks"] == 6
+        assert st["frames_sent"] == 6 * 3
+        assert st["work_p99_ms"] > 0.0
+        assert st["step"]["p99_step_ms"] >= st["step"]["p50_step_ms"] > 0
 
     def test_replay_smoke_mesh_sharded(self, speech_wavs, tmp_path):
         """--mesh-devices shards the session axis over the virtual
