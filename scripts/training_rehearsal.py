@@ -183,6 +183,14 @@ def main() -> int:
     ap.add_argument("--no-diagnose-recall", action="store_true",
                     help="skip the post-training recall diagnosis "
                          "(threshold sweep + per-channel operating point)")
+    ap.add_argument("--min-range-ratio", type=float, default=0.7,
+                    help="absolute range_ratio floor for the SUCCESS "
+                         "gate (VERDICT r4 item 2): a run whose final "
+                         "pred/target amplitude-range ratio sits below "
+                         "this is routed to training_report_failed.md "
+                         "instead of headlining — the round-4 30 fps "
+                         "table (range_ratio 0.30, amplitudes tracked "
+                         "at ~42%) could headline silently")
     ap.add_argument("--force-report", action="store_true",
                     help="overwrite docs/training_report.md even when "
                          "this run has fewer optimizer steps than the "
@@ -319,9 +327,9 @@ def main() -> int:
         "loss_first": float(first["loss"]),
         "loss_last": float(last["loss"]),
         # 'mae' is the UNWEIGHTED mean |pred - target| (losses.py
-        # frame_metrics); 'l1' is the loss term, which active_weight
-        # scales — quoting it as MAE would make runs incomparable
-        # across --active-weight settings
+        # frame_metrics); since the advisor-r4 fix metrics['l1'] is
+        # also unweighted (== mae), with active_weight applied to the
+        # loss terms only
         "mae_last": float(last.get("mae", float("nan"))),
         "correlation_first": float(first.get("correlation", 0.0)),
         "correlation_last": float(last.get("correlation", 0.0)),
@@ -336,12 +344,14 @@ def main() -> int:
         "cli": {k: v["rc"] for k, v in cli_log.items()},
     }
     # success = the model genuinely tracks the audio, produces calibrated
-    # amplitudes (non-degenerate threshold F1, range not collapsing), and
-    # every CLI surface consumed the checkpoint
+    # amplitudes (non-degenerate threshold F1, range not collapsing, and
+    # an ABSOLUTE range_ratio floor — VERDICT r4 item 2), and every CLI
+    # surface consumed the checkpoint
     ok = (summary["correlation_last"] > 0.3
           and summary["f1_last"] > 0.2
           and summary["range_ratio_last"] > 0.5 * max(
               summary["range_ratio_first"], 1e-9)
+          and summary["range_ratio_last"] >= args.min_range_ratio
           and all(rc == 0 for rc in summary["cli"].values()))
 
     # ---- overwrite guard (VERDICT r3 weak 1): the committed production
@@ -383,8 +393,7 @@ def main() -> int:
         if key in epochs[0]:
             ax[1].plot(xs, [e[key] for e in epochs], marker="o",
                        color="teal")
-            title = ("MAE" if key == "mae"
-                     else "L1 loss term (active-weighted)")
+            title = "MAE" if key == "mae" else "L1 (unweighted)"
             ax[1].set(title=title, xlabel="epoch", ylabel=title)
         fig.tight_layout()
         fig.savefig(ASSETS / f"rehearsal_loss{suffix}.png", dpi=110)

@@ -62,10 +62,17 @@ from koemorph_tpu.models.dual_stream_model import (  # noqa: E402
 SR = 16000
 FPS = 30
 HOP = 533
+# CPU-CI shape: d=64 / window=64 (~2.1 s) keeps runtime sane. The SAME
+# harness runs at the flagship shape (d=256 / window=256 / stride 4)
+# via scripts/flagship_parity.py, which overrides these module
+# constants and commits the measured max deviation to
+# docs/flagship_parity.json (VERDICT r4 item 5).
 D_MODEL = 64
 HEADS = 4
-WINDOW = 64          # 64-frame mel window (~2.1 s) keeps CPU runtime sane
+WINDOW = 64
 STRIDE = 16
+AUDIO_SECONDS = 6.0
+TRAIN_STEPS = 600
 RAW_EMOTION_DIM = 264
 
 
@@ -147,7 +154,7 @@ def load_attention_into_torch(att_torch, p) -> None:
 def trained_setup():
     """Train our model briefly on audio-correlated targets, then build the
     reference model carrying the SAME weights."""
-    audio = speech_like(6.0)
+    audio = speech_like(AUDIO_SECONDS)
     n_frames = len(audio) // HOP
     n_out = (n_frames - WINDOW) // STRIDE + 1
     targets = energy_targets(audio, n_out)
@@ -187,7 +194,7 @@ def trained_setup():
         return optax.apply_updates(params, updates), opt_state, loss
 
     loss0 = None
-    for step in range(600):
+    for step in range(TRAIN_STEPS):
         params, opt_state, loss = train_step(params, opt_state)
         if loss0 is None:
             loss0 = float(loss)
