@@ -22,7 +22,8 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ["HAS_NATIVE", "native_lib", "decode_wav_native",
-           "parse_blendshape_jsonl_native"]
+           "parse_blendshape_jsonl_native", "emit_frames_udp_native",
+           "format_frames_jsonl_native"]
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _SO_PATH = _NATIVE_DIR / "libkoemorph_host.so"
@@ -82,6 +83,22 @@ def native_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int32]
         lib.km_count_lines.restype = ctypes.c_int64
         lib.km_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        try:
+            lib.km_emit_frames_udp.restype = ctypes.c_int64
+            lib.km_emit_frames_udp.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
+                ctypes.c_char_p, ctypes.c_int32]
+            lib.km_format_frames_jsonl.restype = ctypes.c_int64
+            lib.km_format_frames_jsonl.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_double, ctypes.c_char_p,
+                ctypes.c_int64]
+        except AttributeError:  # stale .so without the emit entry points
+            logger.info("native emit entry points missing; rebuild with "
+                        "`make -C native` to accelerate serving output")
+            lib.km_emit_frames_udp = None
+            lib.km_format_frames_jsonl = None
         _lib = lib
         return _lib
 
@@ -129,3 +146,49 @@ def parse_blendshape_jsonl_native(
     if got <= 0:
         return None
     return bs[:got], ts[:got]
+
+
+def _frames_c(frames: np.ndarray) -> np.ndarray:
+    f = np.ascontiguousarray(frames, np.float32)
+    if f.ndim != 2:
+        raise ValueError(f"frames must be (sessions, coeffs), got {f.shape}")
+    return f
+
+
+def emit_frames_udp_native(frames: np.ndarray, timestamp: float,
+                           sockfd: int, ip: str, port: int
+                           ) -> Optional[int]:
+    """Send one ``{"timestamp", "session", "blendshapes"}`` JSON datagram
+    per session row through an existing unconnected UDP socket fd, entirely
+    in C (the Python json.dumps loop measures ~130 us/session — the serving
+    host ceiling at high session counts). ``ip`` must be a dotted quad
+    (resolve hostnames first). Returns datagrams sent, or None -> caller
+    must fall back to the Python loop."""
+    lib = native_lib()
+    if lib is None or lib.km_emit_frames_udp is None:
+        return None
+    f = _frames_c(frames)
+    sent = lib.km_emit_frames_udp(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f.shape[0], f.shape[1], float(timestamp), sockfd,
+        ip.encode("ascii"), int(port))
+    return int(sent) if sent >= 0 else None
+
+
+def format_frames_jsonl_native(frames: np.ndarray, timestamp: float
+                               ) -> Optional[bytes]:
+    """Format the whole (S, C) frame batch as JSONL (one row per session)
+    in C; None -> caller falls back to the Python json.dumps loop."""
+    lib = native_lib()
+    if lib is None or lib.km_format_frames_jsonl is None:
+        return None
+    f = _frames_c(frames)
+    # must cover km_fmt_row's once-per-row worst-case bound (80 + 34/float)
+    cap = f.shape[0] * (96 + 34 * f.shape[1])
+    out = ctypes.create_string_buffer(cap)
+    n = lib.km_format_frames_jsonl(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        f.shape[0], f.shape[1], float(timestamp), out, cap)
+    if n <= 0:
+        return None
+    return out.raw[:n]

@@ -109,3 +109,82 @@ class TestJsonlParse:
                                           tmp_path / "a.wav")
         np.testing.assert_allclose(fast["arkit"], slow["arkit"], atol=1e-6)
         np.testing.assert_array_equal(fast["wav"], slow["wav"])
+
+
+class TestEmitFrames:
+    """Native serving-emit hot path (km_emit_frames_udp /
+    km_format_frames_jsonl): the Python json.dumps loop in
+    scripts/serve.py SessionSender is the wire-contract reference —
+    same fields, values within the formatter's 5e-10 bound."""
+
+    def _python_rows(self, frames, ts):
+        return [{"timestamp": ts, "session": i,
+                 "blendshapes": np.asarray(row, np.float32).tolist()}
+                for i, row in enumerate(frames)]
+
+    def test_format_jsonl_matches_python_contract(self, rng):
+        from koemorph_tpu.data.native import format_frames_jsonl_native
+        frames = rng.uniform(0, 1, (17, 52)).astype(np.float32)
+        ts = 1234.567891
+        payload = format_frames_jsonl_native(frames, ts)
+        assert payload is not None
+        got = [json.loads(line) for line in payload.decode().splitlines()]
+        want = self._python_rows(frames, ts)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert set(g) == set(w) == {"timestamp", "session",
+                                        "blendshapes"}
+            assert g["session"] == w["session"]
+            assert abs(g["timestamp"] - w["timestamp"]) < 1e-6
+            np.testing.assert_allclose(g["blendshapes"], w["blendshapes"],
+                                       atol=5e-10)
+
+    def test_format_edge_values(self):
+        from koemorph_tpu.data.native import format_frames_jsonl_native
+        frames = np.array([[0.0, 1.0, 0.5, 1e-6, 0.9999999, -0.25,
+                            3.25e8, 0.03125]], np.float32)
+        line = format_frames_jsonl_native(frames, 0.0).decode()
+        got = np.asarray(json.loads(line)["blendshapes"], np.float64)
+        np.testing.assert_allclose(got, frames[0].astype(np.float64),
+                                   rtol=1e-8, atol=5e-10)
+        # values >= 2^-6 round-trip float32 bit-exactly
+        big = got[np.abs(frames[0]) >= 2.0 ** -6]
+        ref = frames[0][np.abs(frames[0]) >= 2.0 ** -6]
+        assert (big.astype(np.float32) == ref).all()
+
+    def test_emit_udp_delivers_every_session(self, rng):
+        import select
+        import socket
+        from koemorph_tpu.data.native import emit_frames_udp_native
+        frames = rng.uniform(0, 1, (9, 52)).astype(np.float32)
+        recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        recv.bind(("127.0.0.1", 0))
+        port = recv.getsockname()[1]
+        send = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            sent = emit_frames_udp_native(frames, 7.5, send.fileno(),
+                                          "127.0.0.1", port)
+            assert sent == 9
+            rows = []
+            while select.select([recv], [], [], 0.5)[0]:
+                rows.append(json.loads(recv.recvfrom(65536)[0]))
+                if len(rows) == 9:
+                    break
+            assert sorted(r["session"] for r in rows) == list(range(9))
+            by_s = {r["session"]: r["blendshapes"] for r in rows}
+            for i in range(9):
+                np.testing.assert_allclose(by_s[i], frames[i], atol=5e-10)
+        finally:
+            recv.close()
+            send.close()
+
+    def test_bad_ip_returns_none(self, rng):
+        import socket
+        from koemorph_tpu.data.native import emit_frames_udp_native
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            frames = rng.uniform(0, 1, (2, 52)).astype(np.float32)
+            assert emit_frames_udp_native(frames, 0.0, s.fileno(),
+                                          "not-an-ip", 9999) is None
+        finally:
+            s.close()
