@@ -135,8 +135,19 @@ class MultiStreamInference:
             lambda p, s, a: stream_frame(p, s, a, cfg),
             in_axes=(None, axes, 0),
             out_axes=({"blendshapes": 0}, axes))
-        self._sstep = (self._vstep if refresh_cohorts == 1
-                       else self._make_cohort_step())
+        base_sstep = (self._vstep if refresh_cohorts == 1
+                      else self._make_cohort_step())
+
+        def sstep_any_dtype(p, s, a):
+            # int16 PCM converts ON DEVICE: the UDP wire format is int16,
+            # so uploading it raw halves host->device bytes per tick
+            # (1.1 MB -> 0.55 MB at S=512/30 fps) and x * 2^-15 is
+            # bit-exact to the host-side x / 32768.0 it replaces
+            if a.dtype == jnp.int16:
+                a = a.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+            return base_sstep(p, s, a)
+
+        self._sstep = sstep_any_dtype
         self._step = jax.jit(self._sstep, donate_argnums=1)
         self._reset_fns: dict = {}
         self.frames_emitted = 0
@@ -290,18 +301,32 @@ class MultiStreamInference:
 
     # -- serving -----------------------------------------------------------
 
-    def warmup(self) -> None:
-        """Compile the batched step ahead of the real-time loop."""
+    def warmup(self, dtype=jnp.float32) -> None:
+        """Compile the batched step ahead of the real-time loop. Pass
+        ``dtype=jnp.int16`` when the live loop will feed raw PCM (each
+        input dtype is its own jit specialization)."""
         hop = self.cfg.hop_length
         out, _ = self._step(
             self.params,
             jax.tree_util.tree_map(jnp.copy, self.states),
-            self._put_hops(jnp.zeros((self.n_sessions, hop), jnp.float32)))
-        jax.block_until_ready(out["blendshapes"])
+            self._put_hops(jnp.zeros((self.n_sessions, hop), dtype)))
+        # materialize, don't block_until_ready: through the axon tunnel
+        # block_until_ready returns before remote compile+execute finish,
+        # which would push the whole first compile into the first live
+        # tick (measured: a 397 s first tick in the serve loop)
+        np.asarray(out["blendshapes"])
 
     def step(self, hops: np.ndarray) -> jax.Array:
-        """One frame for every session: (S, hop) audio -> (S, 52)."""
-        hops = jnp.asarray(hops, jnp.float32)
+        """One frame for every session: (S, hop) audio -> (S, 52).
+
+        Accepts float32 in [-1, 1] or raw int16 PCM (converted on device
+        at half the upload bytes); device-resident arrays pass through
+        without a host round trip."""
+        if not isinstance(hops, jax.Array):
+            hops = np.asarray(hops)
+            if hops.dtype != np.int16:
+                hops = np.asarray(hops, np.float32)
+            hops = jnp.asarray(hops)
         if hops.shape != (self.n_sessions, self.cfg.hop_length):
             raise ValueError(
                 f"expected ({self.n_sessions}, {self.cfg.hop_length}) "

@@ -494,7 +494,10 @@ class StreamingInference:
         hop = self.cfg.hop_length
         out, st = self._step(self.params, self.state,
                              jnp.zeros((hop,), jnp.float32))
-        jax.block_until_ready(out["blendshapes"])
+        # materialize, don't block_until_ready: through the axon tunnel
+        # block_until_ready returns before remote compile+execute finish,
+        # leaving the compile to land on the first real-time frame
+        np.asarray(out["blendshapes"])
 
     def process_audio(self, samples: np.ndarray) -> list[np.ndarray]:
         """Feed arbitrary-length audio; returns one (52,) frame per full hop

@@ -82,8 +82,11 @@ class SessionIngest:
         # cannot grow host memory without limit; overflow drops OLDEST
         # samples (the stream stays current, like a real-time mic ring)
         self.max_samples = max_buffer_hops * hop
+        # queues hold RAW int16 PCM: the engine converts on device
+        # (bit-exact x * 2^-15), so the server never touches the samples
+        # and each tick uploads half the bytes of a float32 block
         self.queues: list[np.ndarray] = [
-            np.zeros(0, np.float32) for _ in range(sessions)]
+            np.zeros(0, np.int16) for _ in range(sessions)]
         self.resets: set[int] = set()
         self.dropped_datagrams = 0
         self.overflowed_samples = 0
@@ -99,12 +102,12 @@ class SessionIngest:
         payload = datagram[_HEADER.size:]
         if not payload:                       # empty payload = lane reset
             self.resets.add(sid)
-            self.queues[sid] = np.zeros(0, np.float32)
+            self.queues[sid] = np.zeros(0, np.int16)
             return
         if len(payload) % 2:
             self.dropped_datagrams += 1
             return
-        pcm = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+        pcm = np.frombuffer(payload, "<i2")
         q = np.concatenate([self.queues[sid], pcm])
         if q.size > self.max_samples:
             self.overflowed_samples += q.size - self.max_samples
@@ -117,9 +120,10 @@ class SessionIngest:
         return out
 
     def take_block(self) -> np.ndarray:
-        """Next (sessions, hop) block; lanes with < hop samples queued
-        are zero-filled (silence) without consuming their partial data."""
-        block = np.zeros((self.sessions, self.hop), np.float32)
+        """Next (sessions, hop) int16 block; lanes with < hop samples
+        queued are zero-filled (silence) without consuming their partial
+        data."""
+        block = np.zeros((self.sessions, self.hop), np.int16)
         for i, q in enumerate(self.queues):
             if q.size >= self.hop:
                 block[i] = q[: self.hop]
@@ -130,17 +134,28 @@ class SessionIngest:
 class SessionSender:
     """Per-session output fan-out over one BlendshapeStreamer-compatible
     surface (UDP JSON with a ``session`` field / per-session OSC address
-    / one JSONL file with a ``session`` field)."""
+    / one JSONL file with a ``session`` field).
+
+    The UDP/file JSON paths use the native batch formatter when available
+    (native/koemorph_host.cpp ``km_emit_frames_udp`` /
+    ``km_format_frames_jsonl``): the Python json.dumps loop measures
+    ~130 us/session — 67 ms/tick at 512 sessions, twice the 33 ms frame
+    budget and the real serving ceiling — vs ~6 us/session in C (values
+    agree within 5e-10; consumers parse the same fields). The Python loop
+    remains the fallback and the wire-contract reference."""
 
     def __init__(self, mode: str, host: str, port: int,
-                 osc_address: str, output_file: str | None):
+                 osc_address: str, output_file: str | None,
+                 native: bool = True):
         self.mode = mode
         self.host = host
         self.port = port
         self.osc_address = osc_address
         self.frames_sent = 0
+        self.emit_path = "python"
         self._sock = None
         self._fh = None
+        self._ip = None
         if mode in ("udp", "osc"):
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         elif mode == "file":
@@ -149,6 +164,15 @@ class SessionSender:
             self._fh = open(output_file, "w")
         elif mode != "none":
             raise ValueError(f"unknown output mode: {mode}")
+        if native and mode in ("udp", "file"):
+            from koemorph_tpu.data.native import native_lib
+            if native_lib() is not None:
+                self.emit_path = "native"
+                if mode == "udp":
+                    try:
+                        self._ip = socket.gethostbyname(host)
+                    except OSError:
+                        self.emit_path = "python"
 
     def send(self, frames: np.ndarray, timestamp: float) -> None:
         """``frames`` is (sessions, 52)."""
@@ -164,6 +188,24 @@ class SessionSender:
                     (self.host, self.port))
                 self.frames_sent += 1
             return
+        if self.emit_path == "native":
+            from koemorph_tpu.data.native import (
+                emit_frames_udp_native, format_frames_jsonl_native)
+            if self.mode == "udp":
+                sent = emit_frames_udp_native(
+                    frames, timestamp, self._sock.fileno(),
+                    self._ip, self.port)
+                if sent is not None:
+                    self.frames_sent += sent
+                    return
+            else:
+                payload = format_frames_jsonl_native(frames, timestamp)
+                if payload is not None:
+                    self._fh.write(payload.decode("utf-8"))
+                    self._fh.flush()
+                    self.frames_sent += len(frames)
+                    return
+            self.emit_path = "python"   # native refused -> stay on Python
         for i, row in enumerate(frames):
             payload = json.dumps({
                 "timestamp": timestamp,
@@ -232,7 +274,8 @@ def _load_replay_lanes(paths: list[str], sessions: int, sample_rate: int,
 
 
 def _emit_stats(server, sender, *, mode: str, ticks: int, elapsed: float,
-                work_s: list[float], late: int, ingest=None) -> None:
+                work_s: list[float], late: int, ingest=None,
+                pipelined: bool = True) -> None:
     """One JSON line of live-loop serving stats on stdout — the number
     the scan-probe capacity is validated against (VERDICT r4 item 6):
     sustained tick rate through the REAL ingest->step->emit loop, the
@@ -250,6 +293,8 @@ def _emit_stats(server, sender, *, mode: str, ticks: int, elapsed: float,
         "late_ticks": late,
         "late_frac": round(late / max(ticks, 1), 4),
         "frames_sent": sender.frames_sent,
+        "emit_path": sender.emit_path,
+        "emit_mode": "pipelined" if pipelined else "sync",
         "step": {k: round(v, 3) if isinstance(v, float) else v
                  for k, v in server.performance_stats().items()},
     }
@@ -269,8 +314,35 @@ def serve_replay(server, sender, args) -> int:
     budget = hop / args.sample_rate
     logger.info("replay: %d sessions x %d frames", args.sessions, n_frames)
     server.warmup()
+    # --device-replay pre-stages the whole (S, T) lane block in HBM and
+    # slices each tick's hop ON DEVICE (one jitted dynamic-slice with a
+    # traced tick index, so every tick reuses one executable). Removes
+    # the per-tick (S, hop) host->device audio upload — the transport
+    # bandwidth wall when the chip sits behind a network tunnel
+    # (measured: 1.1 MB/tick at S=512/30 fps float32 = 33 MB/s).
+    lanes_dev = None
+    take_hop = None
+    if args.device_replay:
+        import jax.numpy as jnp
+        from jax import lax
+        lanes_dev = server._put_hops(jnp.asarray(lanes))
+        take_hop = jax.jit(lambda block, t: lax.dynamic_slice_in_dim(
+            block, t * hop, hop, axis=1))
+        np.asarray(take_hop(lanes_dev, 0))   # compile before the clock
+    # Pipelined emit (default): dispatch tick t's device step, start an
+    # async device->host copy of its output, and emit tick t-1's frames
+    # (whose copy has been in flight for a whole tick, so materializing
+    # it is nearly free). The device->host fetch costs a full transport
+    # round trip when taken synchronously (~30 ms through the axon
+    # tunnel — the entire 33 ms frame budget); overlapping it with the
+    # next step's device work + pacing sleep removes it from the tick
+    # wall at the price of ONE frame (33 ms at 30 fps) of added output
+    # latency. --sync-emit restores the reference-style synchronous
+    # loop (reference scripts/rt.py:465-519 fetches every frame).
+    pipeline = not args.sync_emit
     work_s: list[float] = []
     late = 0
+    pending = None                       # (device frames, wall timestamp)
     next_tick = time.perf_counter()
     t_start = time.perf_counter()
     for t in range(n_frames):
@@ -278,11 +350,26 @@ def serve_replay(server, sender, args) -> int:
             now = time.perf_counter()
             if now < next_tick:
                 time.sleep(next_tick - now)
-            next_tick += budget
+            # resync after a stall (same rule as the listen loop): a
+            # deadline that fell more than one budget behind would mark
+            # every later tick late and skip every later sleep, so one
+            # hiccup would poison the whole run's accounting
+            next_tick = max(next_tick + budget, now)
         w0 = time.perf_counter()
-        frames = np.asarray(
-            server.step(lanes[:, t * hop: (t + 1) * hop]))
-        sender.send(frames, time.time())
+        if lanes_dev is not None:
+            out = server.step(take_hop(lanes_dev, t))
+        else:
+            out = server.step(lanes[:, t * hop: (t + 1) * hop])
+        if pipeline:
+            try:
+                out.copy_to_host_async()
+            except AttributeError:       # non-jax array (CPU paths)
+                pass
+            if pending is not None:
+                sender.send(np.asarray(pending[0]), pending[1])
+            pending = (out, time.time())
+        else:
+            sender.send(np.asarray(out), time.time())
         work_s.append(time.perf_counter() - w0)
         if not args.no_realtime and time.perf_counter() > next_tick:
             late += 1                    # tick finished past its deadline
@@ -290,10 +377,13 @@ def serve_replay(server, sender, args) -> int:
             ms = 1e3 * float(np.mean(server.step_times or [0.0]))
             logger.info("frame %d/%d  step %.2f ms (%d sessions)",
                         t + 1, n_frames, ms, args.sessions)
+    if pending is not None:              # flush the last pipelined frame
+        sender.send(np.asarray(pending[0]), pending[1])
     elapsed = time.perf_counter() - t_start
     logger.info("done: %d frames sent", sender.frames_sent)
     _emit_stats(server, sender, mode="replay", ticks=n_frames,
-                elapsed=elapsed, work_s=work_s, late=late)
+                elapsed=elapsed, work_s=work_s, late=late,
+                pipelined=pipeline)
     return 0
 
 
@@ -305,14 +395,17 @@ def serve_listen(server, sender, args) -> int:
     sock.bind((args.listen_host, args.listen_port))
     logger.info("listening on udp://%s:%d for %d sessions (hop %d)",
                 args.listen_host, args.listen_port, args.sessions, hop)
-    server.warmup()
+    server.warmup(dtype=np.int16)        # the loop feeds raw PCM blocks
     # pre-compile the single-lane reset executable so a client's first
     # reset datagram doesn't pay an XLA compile inside a 33 ms tick (all
     # lanes are fresh at startup, so this is a state no-op)
     server.reset_sessions([0])
+    logger.info("serving: warmup complete, loop is live")
+    pipeline = not args.sync_emit        # see serve_replay
     sent = 0
     work_s: list[float] = []
     late = 0
+    pending = None
     t_start = time.perf_counter()
     next_tick = time.perf_counter() + budget
     try:
@@ -351,8 +444,17 @@ def serve_listen(server, sender, args) -> int:
             if resets:
                 logger.info("reset sessions %s", resets)
             w0 = time.perf_counter()
-            frames = np.asarray(server.step(ingest.take_block()))
-            sender.send(frames, time.time())
+            out = server.step(ingest.take_block())
+            if pipeline:
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if pending is not None:
+                    sender.send(np.asarray(pending[0]), pending[1])
+                pending = (out, time.time())
+            else:
+                sender.send(np.asarray(out), time.time())
             work_s.append(time.perf_counter() - w0)
             if behind:
                 late += 1
@@ -367,10 +469,13 @@ def serve_listen(server, sender, args) -> int:
         logger.info("interrupted")
     finally:
         sock.close()
+    if pending is not None:              # flush the last pipelined frame
+        sender.send(np.asarray(pending[0]), pending[1])
     logger.info("done: %d ticks, %d frames sent, %d dropped datagrams",
                 sent, sender.frames_sent, ingest.dropped_datagrams)
     _emit_stats(server, sender, mode="listen", ticks=sent,
                 elapsed=time.perf_counter() - t_start, work_s=work_s,
+                pipelined=pipeline,
                 late=late, ingest=ingest)
     return 0
 
@@ -410,7 +515,24 @@ def main() -> int:
                    help="stop after this many ticks (tests/capacity runs)")
     p.add_argument("--no-realtime", action="store_true",
                    help="replay mode: as fast as possible")
+    p.add_argument("--device-replay", action="store_true",
+                   help="replay mode: pre-stage the whole lane block in "
+                        "device memory and slice each tick's hop on "
+                        "device — removes the per-tick audio upload "
+                        "(the bandwidth wall behind a network tunnel)")
     p.add_argument("--stats-every", type=int, default=0)
+    p.add_argument("--sync-emit", action="store_true",
+                   help="fetch and emit each tick's frames synchronously "
+                        "(reference-style loop). Default is pipelined "
+                        "emit: the device->host copy of tick t overlaps "
+                        "tick t+1's device work, hiding the transport "
+                        "round trip at the cost of one frame of output "
+                        "latency")
+    p.add_argument("--python-emit", action="store_true",
+                   help="force the pure-Python json.dumps output loop "
+                        "(the wire-contract reference; the native batch "
+                        "emitter is ~22x faster and is used by default "
+                        "when the C++ library builds)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (functional checks)")
     p.add_argument("--verbose", action="store_true")
@@ -427,7 +549,8 @@ def main() -> int:
     sender = SessionSender(args.output, args.host, args.port,
                            args.osc_address,
                            args.output_file if args.output == "file"
-                           else None)
+                           else None,
+                           native=not args.python_emit)
     try:
         if args.replay:
             return serve_replay(server, sender, args)

@@ -44,10 +44,13 @@ class TestSessionIngest:
         ing.push(struct.pack("!I", 1) + pcm)
         block = ing.take_block()
         assert block.shape == (3, 4)
-        np.testing.assert_allclose(block[0], 0.0)
-        np.testing.assert_allclose(block[1], [0.5, -0.5, 0.25, -0.25],
-                                   atol=1e-4)
-        np.testing.assert_allclose(block[2], 0.0)
+        # blocks stay raw int16 (the engine converts on device: x * 2^-15
+        # is bit-exact to the old host-side x / 32768.0)
+        assert block.dtype == np.int16
+        np.testing.assert_allclose(block[0], 0)
+        np.testing.assert_allclose(block[1] / 32768.0,
+                                   [0.5, -0.5, 0.25, -0.25], atol=1e-4)
+        np.testing.assert_allclose(block[2], 0)
         # queue consumed: next block is silence again
         assert not ing.take_block().any()
 
@@ -82,8 +85,9 @@ class TestSessionIngest:
         ing.push(struct.pack("!I", 0) + ramp.tobytes())
         assert ing.overflowed_samples == 4
         block = ing.take_block()                   # newest 4 samples kept
-        np.testing.assert_allclose(block[0] * 8 * 32768 / 32767, [4, 5],
-                                   atol=1e-2)
+        np.testing.assert_allclose(
+            block[0].astype(np.float32) / 32768.0 * 8 * 32768 / 32767,
+            [4, 5], atol=1e-2)
 
 
 def run(args, timeout=420):
@@ -222,3 +226,61 @@ class TestServeCli:
                 proc.kill()
                 proc.wait()
         assert proc.returncode == 0, proc.stderr.read()[-2000:]
+
+
+@pytest.mark.slow
+class TestNativeEmit:
+    def test_native_vs_python_file_output_agree(self, speech_wavs,
+                                                tmp_path):
+        """The native batch formatter (default) and the --python-emit
+        json.dumps loop produce numerically identical JSONL streams
+        (values within the formatter's 5e-10 bound) — the Python loop is
+        the wire-contract reference."""
+        outs = {}
+        for name, extra in (("native", []), ("python", ["--python-emit"])):
+            out = tmp_path / f"{name}.jsonl"
+            r = run(["scripts/serve.py", "--replay", str(speech_wavs[0]),
+                     "--sessions", "2", "--output", "file",
+                     "--output-file", str(out), "--no-realtime",
+                     "--max-frames", "5", "--cpu",
+                     "--emotion-backend", "basic",
+                     "--d-model", "32", "--num-heads", "2", *extra])
+            assert r.returncode == 0, r.stderr[-2000:]
+            stats = json.loads(
+                [l for l in r.stdout.splitlines()
+                 if '"performance_stats"' in l][-1])["performance_stats"]
+            if name == "python":
+                assert stats["emit_path"] == "python"
+            outs[name] = [json.loads(l)
+                          for l in out.read_text().splitlines()]
+        assert len(outs["native"]) == len(outs["python"]) == 10
+        for g, w in zip(outs["native"], outs["python"]):
+            assert g["session"] == w["session"]
+            np.testing.assert_allclose(g["blendshapes"], w["blendshapes"],
+                                       atol=5e-10)
+
+
+@pytest.mark.slow
+class TestDeviceReplay:
+    def test_device_replay_matches_host_replay(self, speech_wavs,
+                                               tmp_path):
+        """--device-replay (lanes pre-staged in device memory, hop sliced
+        on device by one jitted dynamic-slice) must produce the same
+        frame stream as the host-upload replay loop."""
+        outs = {}
+        for name, extra in (("host", []), ("device", ["--device-replay"])):
+            out = tmp_path / f"{name}.jsonl"
+            r = run(["scripts/serve.py", "--replay", str(speech_wavs[0]),
+                     "--sessions", "2", "--output", "file",
+                     "--output-file", str(out), "--no-realtime",
+                     "--max-frames", "6", "--cpu",
+                     "--emotion-backend", "basic",
+                     "--d-model", "32", "--num-heads", "2", *extra])
+            assert r.returncode == 0, r.stderr[-2000:]
+            outs[name] = [json.loads(l)
+                          for l in out.read_text().splitlines()]
+        assert len(outs["host"]) == len(outs["device"]) == 12
+        for g, w in zip(outs["device"], outs["host"]):
+            assert g["session"] == w["session"]
+            np.testing.assert_allclose(g["blendshapes"], w["blendshapes"],
+                                       atol=1e-6)

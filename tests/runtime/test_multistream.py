@@ -364,3 +364,27 @@ class TestRefreshCohorts:
                                  emotion_update_frames + 1)
         with pytest.raises(ValueError, match="divide into"):
             MultiStreamInference(params, TINY, 5, refresh_cohorts=2)
+
+
+class TestInt16Ingest:
+    def test_int16_step_bit_exact_vs_float(self):
+        """Raw int16 PCM converts on device (x * 2^-15) bit-exactly to
+        the float32 path (x / 32768.0) — the serve listen loop uploads
+        half the bytes per tick with identical outputs."""
+        params = tiny_params()
+        hop = TINY.hop_length
+        n_frames, n_sessions = 6, 2
+        rng = np.random.default_rng(3)
+        pcm = rng.integers(-32768, 32768,
+                           (n_sessions, n_frames * hop)).astype(np.int16)
+        as_float = pcm.astype(np.float32) / 32768.0
+
+        sv_f = MultiStreamInference(params, TINY, n_sessions)
+        sv_i = MultiStreamInference(params, TINY, n_sessions)
+        sv_i.warmup(dtype=jnp.int16)
+        for i in range(n_frames):
+            sl = slice(i * hop, (i + 1) * hop)
+            f = np.asarray(sv_f.step(as_float[:, sl]))
+            g = np.asarray(sv_i.step(pcm[:, sl]))
+            np.testing.assert_array_equal(
+                f, g, err_msg=f"frame {i} int16 path diverged")
