@@ -284,3 +284,50 @@ class TestDeviceReplay:
             assert g["session"] == w["session"]
             np.testing.assert_allclose(g["blendshapes"], w["blendshapes"],
                                        atol=1e-6)
+
+
+@pytest.mark.slow
+class TestFeedServe:
+    def test_feeder_drives_listen_server(self, speech_wavs, tmp_path):
+        """scripts/feed_serve.py (the client half of the live-loop
+        validation) streams real int16 speech datagrams into all lanes
+        of a listen server; the served frames must reflect the audio
+        (non-constant output) with zero dropped datagrams."""
+        out = tmp_path / "sessions.jsonl"
+        probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        probe.bind(("127.0.0.1", 0))
+        in_port = probe.getsockname()[1]
+        probe.close()
+        proc = subprocess.Popen(
+            [sys.executable, "scripts/serve.py", "--listen",
+             "--listen-port", str(in_port), "--sessions", "2",
+             "--output", "file", "--output-file", str(out),
+             "--max-frames", "10", "--cpu",
+             "--emotion-backend", "basic",
+             "--d-model", "32", "--num-heads", "2"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        try:
+            # the feeder paces itself; start it immediately — the server
+            # drains queued datagrams on every tick, and the OS buffer
+            # absorbs the overlap with warmup at this tiny scale
+            feed = run(["scripts/feed_serve.py", "--port", str(in_port),
+                        "--sessions", "2", "--ticks", "40",
+                        str(speech_wavs[0]), str(speech_wavs[1])],
+                       timeout=120)
+            assert feed.returncode == 0, feed.stderr[-2000:]
+            proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+        assert proc.returncode == 0, proc.stderr.read()[-2000:]
+        stats_lines = [l for l in proc.stdout.read().splitlines()
+                       if '"performance_stats"' in l]
+        assert stats_lines
+        st = json.loads(stats_lines[-1])["performance_stats"]
+        assert st["dropped_datagrams"] == 0
+        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        assert len(rows) == 10 * 2
+        bs = np.array([r["blendshapes"] for r in rows])
+        assert bs.std() > 0          # audio reached the model
